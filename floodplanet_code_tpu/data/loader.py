@@ -1,0 +1,164 @@
+"""Batch assembly and host->device prefetch.
+
+Replaces the reference's torch DataLoader usage (fit.py:56-63, infer.py:79-83)
+with a TPU-first pipeline:
+
+- ``BatchLoader``: threaded example loading (GeoTIFF windowed reads release
+  the GIL inside the native reader) assembled into fixed-shape NHWC numpy
+  batches. Training drops the ragged final batch to keep one compiled shape;
+  evaluation pads it with duplicated examples and a ``valid`` mask so every
+  tile is scored exactly once (the reference simply runs batch-size-1
+  evaluation, predict.py:206-233).
+- ``device_prefetch``: double-buffered ``jax.device_put`` onto a
+  ``NamedSharding`` so the batch-leading axis lands sharded across the data
+  mesh axis while the previous step computes.
+
+The ``metadata`` field (python objects) stays host-side, mirroring the
+reference's tensors_and_lists_collate_fn (datasets/__init__.py:14-30).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator
+
+import numpy as np
+
+
+class BatchLoader:
+    """Iterable over fixed-shape batches of a FloodPlanetDataset."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        n_workers: int = 4,
+        drop_last: bool = False,
+        seed: int | None = 0,
+        output_metadata: bool = False,
+        pad_final: bool = True,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.n_workers = max(1, n_workers)
+        self.drop_last = drop_last
+        self.output_metadata = output_metadata
+        self.pad_final = pad_final
+        self._rng = np.random.default_rng(seed)
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _epoch_order(self) -> np.ndarray:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        self._epoch += 1
+        return order
+
+    def _assemble(self, examples: list, n_valid: int) -> dict:
+        batch = {
+            "image": np.stack([e["image"] for e in examples]),
+            "target": np.stack([e["target"] for e in examples]),
+            "mean": np.stack([e["mean"] for e in examples]),
+            "std": np.stack([e["std"] for e in examples]),
+            "valid": (np.arange(len(examples)) < n_valid),
+        }
+        if self.output_metadata:
+            batch["metadata"] = [e.get("metadata") for e in examples]
+        return batch
+
+    def __iter__(self) -> Iterator[dict]:
+        order = self._epoch_order()
+        n = len(order)
+        with ThreadPoolExecutor(max_workers=self.n_workers) as pool:
+            # Keep a bounded window of example futures in flight.
+            window = self.batch_size * 3
+            futures = {}
+            submitted = 0
+
+            def submit_upto(limit):
+                nonlocal submitted
+                while submitted < min(limit, n):
+                    idx = int(order[submitted])
+                    futures[submitted] = pool.submit(
+                        self.dataset.load_example, idx, self.output_metadata
+                    )
+                    submitted += 1
+
+            submit_upto(window)
+            position = 0
+            while position < n:
+                end = min(position + self.batch_size, n)
+                count = end - position
+                if count < self.batch_size and self.drop_last:
+                    for f in futures.values():
+                        f.cancel()
+                    return
+                examples = []
+                for i in range(position, end):
+                    examples.append(futures.pop(i).result())
+                    submit_upto(i + 1 + window)
+                n_valid = count
+                if count < self.batch_size and self.pad_final:
+                    # Pad with duplicates of the last example; 'valid' masks
+                    # them out of metrics and stitching.
+                    examples.extend(
+                        [examples[-1]] * (self.batch_size - count)
+                    )
+                yield self._assemble(examples, n_valid)
+                position = end
+
+
+def device_prefetch(iterator, sharding=None, size: int = 2):
+    """Move batches to device ahead of consumption (double buffering).
+
+    ``sharding`` is a jax.sharding.Sharding for array leaves (typically
+    NamedSharding(mesh, P('data'))); python-object leaves (metadata) pass
+    through untouched.
+    """
+    import jax
+
+    def put(batch):
+        out = {}
+        for key, value in batch.items():
+            if isinstance(value, np.ndarray):
+                out[key] = (
+                    jax.device_put(value, sharding)
+                    if sharding is not None
+                    else jax.device_put(value)
+                )
+            else:
+                out[key] = value
+        return out
+
+    q: queue.Queue = queue.Queue(maxsize=size)
+    sentinel = object()
+    error_holder = []
+
+    def producer():
+        try:
+            for batch in iterator:
+                q.put(put(batch))
+        except BaseException as exc:  # propagate loader errors to consumer
+            error_holder.append(exc)
+        finally:
+            q.put(sentinel)
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if error_holder:
+                raise error_holder[0]
+            return
+        yield item
