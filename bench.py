@@ -1,0 +1,108 @@
+"""Benchmark: UNet train throughput on 512x512 tiles, per chip.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Headline metric (BASELINE.json): 512-squared-tile training throughput per
+chip (fwd + CE loss + bwd + adam + BN update), early-fusion UNet on 4-band
+PlanetScope crops, bf16 compute / f32 params. The reference publishes no
+throughput numbers (BASELINE.md); ``vs_baseline`` is measured against an
+*estimated* reference-GPU figure documented below.
+
+Reference estimate: the torch UNet is ~1 TFLOP per 512-sq tile for a train
+step (fwd ~0.32 TFLOP; bwd approx 2x fwd). A V100-class card running the
+reference's fp32, no-AMP Lightning loop at a typical 30-40% utilization
+delivers ~5 TFLOPS -> ~5 tiles/s; allowing for a faster card / better
+utilization we take 16 tiles/s as a generous reference-GPU baseline.
+The driver's target is >= 5x that (80 tiles/s/chip on v5e).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REF_GPU_TILES_PER_SEC = 16.0  # estimated; see module docstring
+
+TILE = 512
+CHANNELS = 4
+N_CLASSES = 3
+
+
+def main() -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from floodplanet_code_tpu.data.augment import TransformParams
+    from floodplanet_code_tpu.models import build_model
+    from floodplanet_code_tpu.train.fit import make_train_step
+    from floodplanet_code_tpu.train.state import create_train_state
+
+    n_chips = len(jax.devices())
+    platform = jax.devices()[0].platform
+    batch_size = 8 * n_chips  # 8 x 512-sq tiles per chip
+
+    rng = np.random.default_rng(0)
+    image = rng.standard_normal((batch_size, TILE, TILE, CHANNELS)).astype(
+        np.float32
+    )
+    target = (image[..., 0] > 0).astype(np.int32)
+    batch = {"image": image, "target": target}
+
+    model = build_model(
+        "ef_model", {"ms_image": CHANNELS}, N_CLASSES, dtype=jnp.bfloat16
+    )
+    state = create_train_state(model, batch, lr=1e-4, optimizer_name="adam")
+
+    if n_chips > 1:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        mesh = Mesh(np.array(jax.devices()), ("data",))
+        state = jax.device_put(state, NamedSharding(mesh, P()))
+        batch = {
+            k: jax.device_put(jnp.asarray(v), NamedSharding(mesh, P("data")))
+            for k, v in batch.items()
+        }
+    else:
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    train_step = make_train_step(
+        model,
+        ignore_index=0,
+        transform_params=TransformParams(False, 0, False, 0, False, 0),
+    )
+
+    key = jax.random.key(0)
+    # Warmup / compile. NOTE: synchronize via an actual host transfer
+    # (float(...)) — block_until_ready does not reliably block through the
+    # remote-TPU (axon) tunnel.
+    for _ in range(3):
+        key, sub = jax.random.split(key)
+        state, logs = train_step(state, batch, sub)
+    float(logs["loss"])
+
+    n_steps = 20
+    start = time.perf_counter()
+    for _ in range(n_steps):
+        key, sub = jax.random.split(key)
+        state, logs = train_step(state, batch, sub)
+    float(logs["loss"])  # chained state dependency => full completion
+    elapsed = time.perf_counter() - start
+
+    tiles_per_sec = n_steps * batch_size / elapsed
+    tiles_per_sec_per_chip = tiles_per_sec / n_chips
+
+    result = {
+        "metric": f"512x512 PS train tiles/sec/chip (EF-UNet bf16, {platform})",
+        "value": round(tiles_per_sec_per_chip, 2),
+        "unit": "tiles/s/chip",
+        "vs_baseline": round(tiles_per_sec_per_chip / REF_GPU_TILES_PER_SEC, 3),
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,143 @@
+"""On-device batched augmentation (flips + rotation), jit-compiled.
+
+The reference augments per-sample on host CPU with torchvision transforms
+(base_dataset.py:494-555): coin-flip hflip/vflip and a uniform random
+rotation, applied identically to image and mask. Here the whole *batch* is
+augmented on device inside the train step — zero host work, fused by XLA,
+and the random state is an explicit jax PRNG key.
+
+Semantics match the reference:
+- Each transform fires per-sample with its configured likelihood.
+- Rotation angle ~ U[min_rot_angle, max_rot_angle] degrees; image sampled
+  bilinearly, label nearest-neighbor (torchvision F.rotate defaults).
+- Out-of-bounds rotation fill is 0 for both image and label — the
+  reference's behavior (labels get dry-class 0, quirk SURVEY.md §7.11).
+  ``fill_ignore=True`` fills the label with ignore_index instead (the
+  documented fix, off by default for parity).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class TransformParams:
+    """Static augmentation config (mirrors conf/config.yaml:41-52)."""
+
+    hflip_active: bool = True
+    hflip_likelihood: float = 0.5
+    vflip_active: bool = True
+    vflip_likelihood: float = 0.5
+    rotate_active: bool = True
+    rotate_likelihood: float = 0.5
+    min_rot_angle: float = 0.0
+    max_rot_angle: float = 360.0
+    fill_ignore: bool = False
+
+    @classmethod
+    def from_config(cls, transforms_cfg) -> "TransformParams":
+        if transforms_cfg is None:
+            return cls(False, 0, False, 0, False, 0)
+        t = transforms_cfg
+        return cls(
+            hflip_active=bool(t.hflip.active),
+            hflip_likelihood=float(t.hflip.likelihood),
+            vflip_active=bool(t.vflip.active),
+            vflip_likelihood=float(t.vflip.likelihood),
+            rotate_active=bool(t.rotate.active),
+            rotate_likelihood=float(t.rotate.likelihood),
+            min_rot_angle=float(t.rotate.min_rot_angle),
+            max_rot_angle=float(t.rotate.max_rot_angle),
+            fill_ignore=bool(t.select("rotate.fill_ignore", False))
+            if hasattr(t, "select")
+            else bool(getattr(t.rotate, "fill_ignore", False)),
+        )
+
+    @property
+    def any_active(self) -> bool:
+        return self.hflip_active or self.vflip_active or self.rotate_active
+
+
+def _rotate_one(img: jnp.ndarray, angle_rad: jnp.ndarray, order: int, cval: float):
+    """Rotate one HWC array around its center (torchvision F.rotate analog)."""
+    h, w, c = img.shape
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    yy = jnp.arange(h, dtype=jnp.float32)[:, None]
+    xx = jnp.arange(w, dtype=jnp.float32)[None, :]
+    # Inverse-rotate output coords to find source coords.
+    cos, sin = jnp.cos(angle_rad), jnp.sin(angle_rad)
+    src_y = cos * (yy - cy) + sin * (xx - cx) + cy
+    src_x = -sin * (yy - cy) + cos * (xx - cx) + cx
+    coords = jnp.stack(
+        [jnp.broadcast_to(src_y, (h, w)), jnp.broadcast_to(src_x, (h, w))]
+    )
+
+    def sample_channel(channel):
+        return jax.scipy.ndimage.map_coordinates(
+            channel, list(coords), order=order, mode="constant", cval=cval
+        )
+
+    return jnp.stack(
+        [sample_channel(img[:, :, i]) for i in range(c)], axis=-1
+    )
+
+
+@partial(jax.jit, static_argnames=("params", "ignore_index"))
+def augment_batch(
+    rng: jax.Array,
+    image: jnp.ndarray,
+    target: jnp.ndarray,
+    params: TransformParams,
+    ignore_index: int = 0,
+):
+    """Augment a batch: image [B,H,W,C] float, target [B,H,W] int.
+
+    Returns (image, target) with per-sample random flips/rotations applied
+    identically to both.
+    """
+    if not params.any_active:
+        return image, target
+    b = image.shape[0]
+    k_h, k_v, k_r, k_a = jax.random.split(rng, 4)
+    do_h = (
+        jax.random.uniform(k_h, (b,)) < params.hflip_likelihood
+        if params.hflip_active
+        else jnp.zeros((b,), bool)
+    )
+    do_v = (
+        jax.random.uniform(k_v, (b,)) < params.vflip_likelihood
+        if params.vflip_active
+        else jnp.zeros((b,), bool)
+    )
+    do_r = (
+        jax.random.uniform(k_r, (b,)) < params.rotate_likelihood
+        if params.rotate_active
+        else jnp.zeros((b,), bool)
+    )
+    angles = jax.random.uniform(
+        k_a,
+        (b,),
+        minval=params.min_rot_angle,
+        maxval=params.max_rot_angle,
+    ) * (jnp.pi / 180.0)
+    angles = jnp.where(do_r, angles, 0.0)
+
+    label_fill = float(ignore_index) if params.fill_ignore else 0.0
+
+    def one(img, tgt, fh, fv, angle):
+        img = jnp.where(fh, img[:, ::-1, :], img)
+        tgt = jnp.where(fh, tgt[:, ::-1], tgt)
+        img = jnp.where(fv, img[::-1, :, :], img)
+        tgt = jnp.where(fv, tgt[::-1, :], tgt)
+        img = _rotate_one(img, angle, order=1, cval=0.0)
+        tgt_f = _rotate_one(
+            tgt[:, :, None].astype(jnp.float32), angle, order=0, cval=label_fill
+        )[:, :, 0]
+        return img, tgt_f.astype(tgt.dtype)
+
+    return jax.vmap(one)(image, target, do_h, do_v, angles)

@@ -161,12 +161,19 @@ class FloodPlanetDataset:
             label_info = tiff.info(label_path)
             label_height, label_width = label_info.height, label_info.width
 
+            # Clamp the stride to the scene extent: scenes smaller than the
+            # stride would otherwise fail step validation (the reference
+            # would crash likewise; small scenes yield one remainder tile).
+            stride = (
+                min(self.slice_params.stride, label_height),
+                min(self.slice_params.stride, label_width),
+            )
             crops = get_crop_slices(
                 label_height,
                 label_width,
                 self.slice_params.height,
                 self.slice_params.width,
-                self.slice_params.stride,
+                stride,
                 mode="exact",
             )
             for h0, w0, h, w in crops:

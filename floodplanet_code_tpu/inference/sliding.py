@@ -1,0 +1,181 @@
+"""Sharded sliding-window full-scene inference engine.
+
+The reference's scene reconstruction (predict.py:206-347, infer.py:112-163)
+runs tile-by-tile (batch size 1 in predict!) with host-side numpy stitching.
+The TPU engine here:
+
+1. enumerates fixed-shape tiles over each scene (same exact-mode crop math
+   as training),
+2. runs the jitted forward in batches sharded across the data mesh axis,
+3. softmaxes on device and scatter-adds predictions into HBM-resident
+   per-scene canvases (inference/stitcher.py) — no per-tile host traffic,
+4. finalizes each scene once: overlap-average, argmax/threshold, export.
+
+Returns host numpy canvases keyed by (region, image_name) for the CLIs to
+export/report on.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from floodplanet_code_tpu.data import BatchLoader, device_prefetch
+from floodplanet_code_tpu.inference.stitcher import (
+    DeviceStitcher,
+    make_tile_valid_mask,
+)
+
+
+def make_predict_step(model):
+    """Jitted forward -> softmax probabilities [B, H, W, n_classes]."""
+
+    @jax.jit
+    def predict_step(variables: dict, batch: dict):
+        model_batch = {"image": batch["image"]}
+        for key in ("dem", "slope", "preflood", "pre_post_difference", "hand"):
+            if key in batch:
+                model_batch[key] = batch[key]
+        logits = model.apply(variables, model_batch, train=False)
+        return jax.nn.softmax(logits, axis=-1)
+
+    return predict_step
+
+
+def sliding_window_predict(
+    model,
+    variables: dict,
+    dataset,
+    batch_size: int,
+    n_workers: int = 4,
+    data_sharding=None,
+    progress: Callable | None = None,
+    collect_extras: bool = False,
+) -> Iterator[dict]:
+    """Run tiled inference over a dataset; yield per-scene results.
+
+    Yields dicts with keys:
+        region, image_name, image_path, probabilities [H,W,C] (overlap-
+        averaged softmax), and optionally (collect_extras) the stitched
+        ``rgb`` [H,W,C_in] un-normalized input canvas and ``gt`` [H,W]
+        label canvas for report generation (predict.py:268-347).
+    """
+    dataset.output_metadata = True
+    loader = BatchLoader(
+        dataset,
+        batch_size=batch_size,
+        shuffle=False,
+        n_workers=n_workers,
+        drop_last=False,
+        output_metadata=True,
+        pad_final=True,
+    )
+    predict_step = make_predict_step(model)
+
+    n_classes = dataset.n_classes
+    pred_stitcher = DeviceStitcher(n_classes)
+    extra_stitchers: dict[str, DeviceStitcher] = {}
+    scene_info: dict[str, dict] = {}
+    tiles_remaining: dict[str, int] = {}
+
+    # Pre-count tiles per scene so finished scenes can be finalized (and
+    # freed) as soon as their last tile lands.
+    for example in dataset.dataset:
+        key = f"{example.region_name}/{_image_name(example.image_path)}"
+        tiles_remaining[key] = tiles_remaining.get(key, 0) + 1
+
+    iterator = device_prefetch(iter(loader), sharding=data_sharding, size=2)
+    for batch in iterator:
+        # Strip host-side metadata before entering jit.
+        array_batch = {
+            k: v for k, v in batch.items() if k != "metadata"
+        }
+        probs = predict_step(variables, array_batch)
+        metadata = batch["metadata"]
+        batch_valid = np.asarray(batch["valid"])
+
+        # Group contiguous runs of the batch by scene for scatter-add.
+        tile_h = int(probs.shape[1])
+        tile_w = int(probs.shape[2])
+        by_scene: dict[str, list[int]] = {}
+        for i, md in enumerate(metadata):
+            if not batch_valid[i] or md is None:
+                continue
+            key = f"{md['region_name']}/{_image_name(md['image_path'])}"
+            by_scene.setdefault(key, []).append(i)
+
+        for key, idxs in by_scene.items():
+            md0 = metadata[idxs[0]]
+            cp0 = md0["crop_params"]
+            scene_info.setdefault(
+                key,
+                {
+                    "region": md0["region_name"],
+                    "image_name": _image_name(md0["image_path"]),
+                    "image_path": md0["image_path"],
+                    "og_height": cp0.og_height,
+                    "og_width": cp0.og_width,
+                },
+            )
+            offsets = np.array(
+                [
+                    [metadata[i]["crop_params"].h0, metadata[i]["crop_params"].w0]
+                    for i in idxs
+                ],
+                np.int32,
+            )
+            heights = [metadata[i]["crop_params"].height for i in idxs]
+            widths = [metadata[i]["crop_params"].width for i in idxs]
+            valid_mask = make_tile_valid_mask(heights, widths, tile_h, tile_w)
+            sel = jnp.asarray(np.array(idxs, np.int32))
+            pred_stitcher.add_batch(
+                key,
+                cp0.og_height,
+                cp0.og_width,
+                jnp.take(probs, sel, axis=0),
+                offsets,
+                valid_mask,
+                geo_from=md0["image_path"],
+            )
+            if collect_extras:
+                if "rgb" not in extra_stitchers:
+                    extra_stitchers["rgb"] = DeviceStitcher(
+                        int(batch["image"].shape[-1])
+                    )
+                    extra_stitchers["gt"] = DeviceStitcher(1)
+                # mean/std are [B,1,1,C]: broadcast directly over [B,H,W,C].
+                unnorm = batch["image"] * batch["std"] + batch["mean"]
+                extra_stitchers["rgb"].add_batch(
+                    key,
+                    cp0.og_height,
+                    cp0.og_width,
+                    jnp.take(unnorm, sel, axis=0),
+                    offsets,
+                    valid_mask,
+                )
+                gt = jnp.take(
+                    batch["target"].astype(jnp.float32)[..., None], sel, axis=0
+                )
+                extra_stitchers["gt"].add_batch(
+                    key, cp0.og_height, cp0.og_width, gt, offsets, valid_mask
+                )
+            tiles_remaining[key] -= len(idxs)
+            if tiles_remaining[key] == 0:
+                info = scene_info.pop(key)
+                result = dict(info)
+                result["probabilities"] = pred_stitcher.pop_combined(key)
+                if collect_extras:
+                    result["rgb"] = extra_stitchers["rgb"].pop_combined(key)
+                    result["gt"] = extra_stitchers["gt"].pop_combined(key)[:, :, 0]
+                if progress is not None:
+                    progress(result)
+                yield result
+
+
+def _image_name(path: str) -> str:
+    import os
+
+    return os.path.splitext(os.path.basename(path))[0]

@@ -21,6 +21,7 @@ torchmetrics in tests/test_metrics.py.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -50,14 +51,17 @@ def confusion_from_preds(
     valid = valid.reshape(-1)
     if ignore_index is not None:
         valid = valid * (target != ignore_index).astype(jnp.float32)
-    # Clip to a safe range so one-hot indexing is in-bounds even for
+    # Clip to a safe range so one-hot encoding is in-bounds even for
     # sentinel targets (e.g. -1); those rows carry zero weight anyway.
     t = jnp.clip(target, 0, n_classes - 1)
     p = jnp.clip(preds, 0, n_classes - 1)
-    flat_idx = t * n_classes + p
-    counts = jnp.zeros((n_classes * n_classes,), dtype=jnp.float32)
-    counts = counts.at[flat_idx].add(valid)
-    return counts.reshape(n_classes, n_classes)
+    # TPU-friendly: scatter-adds are slow on TPU, so build the confusion
+    # matrix as a one-hot contraction on the MXU: CM = (valid * 1_t)^T @ 1_p.
+    t_onehot = jax.nn.one_hot(t, n_classes, dtype=jnp.float32) * valid[:, None]
+    p_onehot = jax.nn.one_hot(p, n_classes, dtype=jnp.float32)
+    return jnp.dot(
+        t_onehot.T, p_onehot, preferred_element_type=jnp.float32
+    )
 
 
 def confusion_from_logits(

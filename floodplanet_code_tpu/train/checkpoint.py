@@ -1,0 +1,131 @@
+"""Orbax-backed checkpointing: metric-keyed top-k retention + full resume.
+
+Reference behavior being reproduced (fit.py:80-85): keep the
+``save_topk_models`` best checkpoints by ``val_MulticlassJaccardIndex``
+(mode max), with filenames embedding epoch and metric
+(``model-{epoch:02d}-{val_MulticlassJaccardIndex:.4f}``); plus the TPU
+build's addition of *mid-training resume* (full TrainState: params,
+batch_stats, opt_state, step), which the reference lacks entirely
+(SURVEY.md §5.4: restore there is inference-only).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+MONITOR_KEY = "val_MulticlassJaccardIndex"
+
+
+class CheckpointManager:
+    """Top-k best + latest checkpoint retention under ``<exp>/checkpoints``."""
+
+    def __init__(self, exp_dir: str, save_top_k: int = 3, monitor: str = MONITOR_KEY):
+        self.ckpt_dir = os.path.join(os.path.abspath(exp_dir), "checkpoints")
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+        self.save_top_k = save_top_k
+        self.monitor = monitor
+        self._checkpointer = ocp.StandardCheckpointer()
+        self._index_path = os.path.join(self.ckpt_dir, "index.json")
+        self._index = self._load_index()
+
+    def _load_index(self) -> dict:
+        if os.path.exists(self._index_path):
+            with open(self._index_path, "r") as handle:
+                return json.load(handle)
+        return {"entries": [], "latest": None}
+
+    def _write_index(self) -> None:
+        with open(self._index_path, "w") as handle:
+            json.dump(self._index, handle, indent=2)
+
+    def _entry_name(self, epoch: int, metric: float) -> str:
+        # Filename pattern mirrors the reference's ModelCheckpoint template.
+        return f"model-epoch={epoch:02d}-{self.monitor}={metric:.4f}"
+
+    def save(self, state: Any, epoch: int, metrics: dict) -> str:
+        """Save a checkpoint; retain top-k by monitored metric + the latest."""
+        metric = float(metrics.get(self.monitor, 0.0))
+        name = self._entry_name(epoch, metric)
+        path = os.path.join(self.ckpt_dir, name)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        self._checkpointer.save(path, _to_saveable(state))
+        self._checkpointer.wait_until_finished()
+        with open(os.path.join(path, "metrics.json"), "w") as handle:
+            json.dump(
+                {k: _scalar(v) for k, v in metrics.items()} | {"epoch": epoch},
+                handle,
+                indent=2,
+            )
+
+        entries = [e for e in self._index["entries"] if e["name"] != name]
+        entries.append({"name": name, "metric": metric, "epoch": epoch})
+        entries.sort(key=lambda e: e["metric"], reverse=True)
+        keep = entries[: self.save_top_k]
+        latest = max(entries, key=lambda e: e["epoch"])
+        keep_names = {e["name"] for e in keep} | {latest["name"]}
+        for entry in entries[self.save_top_k :]:
+            if entry["name"] not in keep_names:
+                stale = os.path.join(self.ckpt_dir, entry["name"])
+                if os.path.exists(stale):
+                    shutil.rmtree(stale)
+        self._index["entries"] = [
+            e for e in entries if e["name"] in keep_names
+        ]
+        self._index["latest"] = latest["name"]
+        self._write_index()
+        return path
+
+    @property
+    def best_model_path(self) -> str | None:
+        if not self._index["entries"]:
+            return None
+        best = max(self._index["entries"], key=lambda e: e["metric"])
+        return os.path.join(self.ckpt_dir, best["name"])
+
+    @property
+    def latest_model_path(self) -> str | None:
+        if self._index["latest"] is None:
+            return None
+        return os.path.join(self.ckpt_dir, self._index["latest"])
+
+    @property
+    def latest_epoch(self) -> int | None:
+        if self._index["latest"] is None:
+            return None
+        for entry in self._index["entries"]:
+            if entry["name"] == self._index["latest"]:
+                return entry["epoch"]
+        return None
+
+    def restore(self, path: str, target: Any) -> Any:
+        """Restore into the structure of ``target`` (a template TrainState)."""
+        return self._checkpointer.restore(path, _to_saveable(target))
+
+
+def _scalar(value):
+    if isinstance(value, (int, float, str)):
+        return value
+    return float(np.asarray(value))
+
+
+def _to_saveable(state):
+    """Host-side pytree of numpy arrays for save/restore templates."""
+    return jax.tree.map(lambda x: np.asarray(x), state)
+
+
+def load_checkpoint(path: str, target: Any) -> Any:
+    """Restore a checkpoint directory into ``target``'s structure.
+
+    Used by predict/infer (the analog of load_from_checkpoint,
+    predict.py:174-177, infer.py:96-99).
+    """
+    checkpointer = ocp.StandardCheckpointer()
+    return checkpointer.restore(os.path.abspath(path), _to_saveable(target))

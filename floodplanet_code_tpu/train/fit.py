@@ -1,0 +1,339 @@
+"""Training entry point: fit_model(cfg) — the reference fit.py, TPU-native.
+
+Pipeline (reference call stack SURVEY.md §3.1, rebuilt):
+  compose cfg -> build train/valid FloodPlanetDatasets -> threaded
+  BatchLoaders -> flax model -> jit-compiled SPMD train step over a
+  data-parallel Mesh (grad psum + global BN stats + exact CM metrics come
+  from the partitioner) -> on-device batched augmentation inside the step ->
+  TensorBoard scalars -> orbax top-k checkpoints keyed on
+  val_MulticlassJaccardIndex -> returns best checkpoint path.
+
+TPU-first differences from the reference:
+- augmentation is on-device inside the jitted step (not host torchvision),
+- one compiled shape: ragged tiles were padded at load, train drops the
+  ragged final batch,
+- full TrainState resume from the latest checkpoint (the reference cannot
+  resume mid-training, SURVEY.md §5.4),
+- metrics are confusion-matrix accumulators — no torchmetrics
+  double-update quirk (§7.6).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from floodplanet_code_tpu.config import Config, save_config
+from floodplanet_code_tpu.data import (
+    BatchLoader,
+    build_dataset,
+    device_prefetch,
+    generate_image_slice_object,
+)
+from floodplanet_code_tpu.data.augment import TransformParams, augment_batch
+from floodplanet_code_tpu.models import build_model
+from floodplanet_code_tpu.ops.losses import cross_entropy_ignore
+from floodplanet_code_tpu.ops.metrics import (
+    compute_binary_class_metrics,
+    compute_metrics,
+    confusion_from_logits,
+    torchmetrics_key_names,
+)
+from floodplanet_code_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicate_state,
+)
+from floodplanet_code_tpu.train.checkpoint import MONITOR_KEY, CheckpointManager
+from floodplanet_code_tpu.train.state import TrainState, create_train_state
+
+
+def resolve_ignore_index(ignore_index: int, n_classes: int) -> int:
+    """-1 sentinel -> last class (reference water_seg_model.py:35-36)."""
+    if ignore_index == -1:
+        return n_classes - 1
+    return ignore_index
+
+
+def make_train_step(model, ignore_index: int, transform_params: TransformParams):
+    """Build the jitted train step: augment -> forward -> CE -> adam update.
+
+    Returns (state, rng) -> (state', logs) where logs carries the scalar
+    loss and the batch confusion matrix (additive across steps).
+    """
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch: dict, rng: jax.Array):
+        image, target = batch["image"], batch["target"]
+        if transform_params.any_active:
+            image, target = augment_batch(
+                rng, image, target, transform_params, ignore_index
+            )
+
+        model_batch = {"image": image}
+        for key in ("dem", "slope", "preflood", "pre_post_difference", "hand"):
+            if key in batch:
+                model_batch[key] = batch[key]
+
+        def loss_fn(params):
+            variables = {"params": params}
+            mutable = []
+            if state.batch_stats is not None:
+                variables["batch_stats"] = state.batch_stats
+                mutable = ["batch_stats"]
+            logits, updates = model.apply(
+                variables, model_batch, train=True, mutable=mutable
+            )
+            loss = cross_entropy_ignore(logits, target, ignore_index)
+            return loss, (logits, updates)
+
+        (loss, (logits, updates)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        state = state.apply_gradients(grads=grads)
+        if state.batch_stats is not None:
+            state = state.replace(batch_stats=updates["batch_stats"])
+        confusion = confusion_from_logits(logits, target, ignore_index)
+        return state, {"loss": loss, "confusion": confusion}
+
+    return train_step
+
+
+def make_eval_step(model, ignore_index: int):
+    """Jitted eval step -> (loss_sum, confusion); padded rows masked out."""
+
+    @jax.jit
+    def eval_step(state: TrainState, batch: dict):
+        model_batch = {"image": batch["image"]}
+        for key in ("dem", "slope", "preflood", "pre_post_difference", "hand"):
+            if key in batch:
+                model_batch[key] = batch[key]
+        variables = {"params": state.params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+        logits = model.apply(variables, model_batch, train=False)
+        valid = batch["valid"].astype(jnp.float32)[:, None, None]
+        loss = cross_entropy_ignore(
+            logits, batch["target"], ignore_index, sample_weight=valid
+        )
+        confusion = confusion_from_logits(
+            logits, batch["target"], ignore_index, sample_weight=valid
+        )
+        return {"loss": loss, "confusion": confusion}
+
+    return eval_step
+
+
+def default_experiment_dir(cfg: Config) -> str:
+    pattern = cfg.select("run.dir", "./outputs/{date}/{name}/")
+    name = cfg.select("run.name", "default")
+    return pattern.format(date=datetime.date.today().isoformat(), name=name)
+
+
+def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
+    """Train; returns the best checkpoint path (reference fit.py:16-103)."""
+    exp_dir = overwrite_exp_dir or default_experiment_dir(cfg)
+    os.makedirs(exp_dir, exist_ok=True)
+    save_config(cfg, exp_dir)
+
+    if cfg.select("tpu.debug_nans", False):
+        jax.config.update("jax_debug_nans", True)
+
+    slice_params = generate_image_slice_object(
+        cfg.crop_height, cfg.crop_width, cfg.crop_stride
+    )
+    dataset_kwargs = cfg.dataset.get("dataset_kwargs") or {}
+
+    common = dict(
+        sensor=cfg.dataset.sensor,
+        channels=cfg.dataset.channels,
+        norm_mode=cfg.norm_mode,
+        eval_region=cfg.eval_region,
+        ignore_index=cfg.ignore_index,
+        seed_num=cfg.seed_num,
+        train_split_pct=cfg.train_split_pct,
+        **dataset_kwargs,
+    )
+    train_dataset = build_dataset(cfg.dataset.name, "train", slice_params, **common)
+    valid_dataset = build_dataset(cfg.dataset.name, "valid", slice_params, **common)
+
+    n_classes = train_dataset.n_classes
+    ignore_index = resolve_ignore_index(cfg.ignore_index, n_classes)
+
+    mesh = make_mesh(cfg.select("tpu.n_devices"))
+    data_sharding = batch_sharding(mesh)
+    n_devices = len(mesh.devices.ravel())
+    batch_size = cfg.batch_size
+    if batch_size % n_devices != 0:
+        batch_size = max(n_devices, (batch_size // n_devices) * n_devices)
+        print(
+            f"[fit] batch_size {cfg.batch_size} not divisible by {n_devices} "
+            f"devices; using {batch_size}"
+        )
+
+    train_loader = BatchLoader(
+        train_dataset,
+        batch_size=batch_size,
+        shuffle=True,
+        n_workers=cfg.n_workers,
+        drop_last=True,
+        seed=cfg.seed_num,
+    )
+    valid_loader = BatchLoader(
+        valid_dataset,
+        batch_size=batch_size,
+        shuffle=False,
+        n_workers=cfg.n_workers,
+        drop_last=False,
+        pad_final=True,
+    )
+
+    compute_dtype = {
+        "bfloat16": jnp.bfloat16,
+        "float32": jnp.float32,
+    }[cfg.select("tpu.compute_dtype", "bfloat16")]
+    model = build_model(
+        cfg.model.name,
+        train_dataset.n_channels,
+        n_classes,
+        dtype=compute_dtype,
+        **(cfg.model.get("model_kwargs") or {}),
+    )
+
+    example_batch = next(iter(valid_loader))
+    state = create_train_state(
+        model,
+        example_batch,
+        lr=cfg.lr,
+        optimizer_name=cfg.select("model.model_kwargs.optimizer_name", cfg.optimizer),
+        seed=cfg.seed_num or 0,
+    )
+    state = replicate_state(state, mesh)
+
+    manager = CheckpointManager(exp_dir, save_top_k=cfg.save_topk_models)
+    start_epoch = 0
+    if cfg.select("tpu.resume", True) and manager.latest_model_path:
+        state = manager.restore(manager.latest_model_path, state)
+        state = replicate_state(state, mesh)
+        start_epoch = (manager.latest_epoch or -1) + 1
+        print(f"[fit] resumed from {manager.latest_model_path} (epoch {start_epoch})")
+
+    transform_params = TransformParams.from_config(cfg.transforms)
+    train_step = make_train_step(model, ignore_index, transform_params)
+    eval_step = make_eval_step(model, ignore_index)
+
+    from tensorboardX import SummaryWriter
+
+    writer = SummaryWriter(os.path.join(exp_dir, "tensorboard_logs"))
+
+    rng = jax.random.key(cfg.seed_num or 0)
+    profiler_mode = cfg.select("profiler")
+    limit_train = cfg.select("limit_train_batches")
+    limit_val = cfg.select("limit_val_batches")
+    global_step = start_epoch * max(1, len(train_loader))
+
+    best_path = None
+    for epoch in range(start_epoch, cfg.n_epochs):
+        # ---- train -------------------------------------------------------
+        epoch_start = time.time()
+        if profiler_mode == "advanced" and epoch == start_epoch:
+            profile_dir = cfg.select("tpu.profile_dir") or os.path.join(
+                exp_dir, "profile"
+            )
+            jax.profiler.start_trace(profile_dir)
+
+        train_confusion = jnp.zeros((n_classes, n_classes), jnp.float32)
+        n_train_batches = 0
+        losses = []
+        for batch in device_prefetch(
+            iter(train_loader),
+            sharding=data_sharding,
+            size=cfg.select("tpu.prefetch", 2),
+        ):
+            if limit_train is not None and n_train_batches >= limit_train:
+                break
+            rng, step_rng = jax.random.split(rng)
+            state, logs = train_step(state, batch, step_rng)
+            train_confusion = train_confusion + logs["confusion"]
+            losses.append(logs["loss"])
+            n_train_batches += 1
+            global_step += 1
+            if global_step % 10 == 0:
+                step_metrics = compute_metrics(
+                    logs["confusion"], "train_", ignore_index
+                )
+                writer.add_scalar(
+                    "train_loss", float(logs["loss"]), global_step
+                )
+                for key, value in step_metrics.items():
+                    writer.add_scalar(key, float(value), global_step)
+
+        if profiler_mode == "advanced" and epoch == start_epoch:
+            jax.profiler.stop_trace()
+
+        train_time = time.time() - epoch_start
+        train_metrics = compute_metrics(train_confusion, "train_", ignore_index)
+        train_metrics["train_loss"] = (
+            jnp.mean(jnp.stack(losses)) if losses else jnp.asarray(0.0)
+        )
+
+        # ---- validation --------------------------------------------------
+        val_confusion = jnp.zeros((n_classes, n_classes), jnp.float32)
+        val_losses = []
+        n_val_batches = 0
+        for batch in device_prefetch(
+            iter(valid_loader), sharding=data_sharding, size=2
+        ):
+            if limit_val is not None and n_val_batches >= limit_val:
+                break
+            logs = eval_step(state, batch)
+            val_confusion = val_confusion + logs["confusion"]
+            val_losses.append(logs["loss"])
+            n_val_batches += 1
+
+        val_metrics = compute_metrics(val_confusion, "val_", ignore_index)
+        val_metrics.update(
+            compute_binary_class_metrics(val_confusion, 1, "val_")
+        )
+        val_metrics["valid_loss"] = (
+            jnp.mean(jnp.stack(val_losses)) if val_losses else jnp.asarray(0.0)
+        )
+
+        # Rename to the reference's torchmetrics keys for the monitor/export.
+        key_map = torchmetrics_key_names("val_")
+        monitored = {
+            key_map.get(k, k): float(np.asarray(v)) for k, v in val_metrics.items()
+        }
+        monitored.update(
+            {k: float(np.asarray(v)) for k, v in train_metrics.items()}
+        )
+
+        for key, value in monitored.items():
+            writer.add_scalar(key, value, global_step)
+
+        tiles_per_sec = (
+            n_train_batches * batch_size / train_time if train_time > 0 else 0.0
+        )
+        writer.add_scalar("train_tiles_per_sec", tiles_per_sec, global_step)
+        if profiler_mode == "simple":
+            print(
+                f"[profiler] epoch {epoch}: {train_time:.1f}s train, "
+                f"{tiles_per_sec:.1f} tiles/s"
+            )
+        print(
+            f"epoch {epoch}: loss {float(np.asarray(train_metrics['train_loss'])):.4f} "
+            f"val_IoU {monitored.get(MONITOR_KEY, 0.0):.4f} "
+            f"water_IoU {monitored.get('val_water_IoU', 0.0):.4f} "
+            f"({tiles_per_sec:.1f} tiles/s)"
+        )
+
+        manager.save(state, epoch, monitored)
+
+    writer.close()
+    return manager.best_model_path or ""

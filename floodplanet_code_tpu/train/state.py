@@ -1,0 +1,60 @@
+"""Train state: params + BN batch_stats + optax optimizer state.
+
+The reference delegates this to PyTorch Lightning (optimizer built in
+configure_optimizers, water_seg_model.py:198-205; BN state implicit in the
+torch modules). Here it is an explicit flax TrainState pytree — which is
+exactly what makes full mid-training resume (orbax) and SPMD sharding
+trivial.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.training import train_state
+
+
+class TrainState(train_state.TrainState):
+    batch_stats: Any = struct.field(default=None)
+
+
+def build_optimizer(optimizer_name: str, lr: float) -> optax.GradientTransformation:
+    """Optimizer factory (reference: adam only, water_seg_model.py:198-205)."""
+    if optimizer_name == "adam":
+        return optax.adam(lr)
+    if optimizer_name == "adamw":
+        return optax.adamw(lr)
+    if optimizer_name == "sgd":
+        return optax.sgd(lr, momentum=0.9)
+    raise NotImplementedError(
+        f"No implementation for optimizer of name: {optimizer_name}"
+    )
+
+
+def create_train_state(
+    model,
+    example_batch: dict,
+    lr: float,
+    optimizer_name: str = "adam",
+    seed: int = 0,
+) -> TrainState:
+    """Initialize model variables and wrap them in a TrainState."""
+    rng = jax.random.key(seed)
+    init_batch = {
+        k: jnp.asarray(v)
+        for k, v in example_batch.items()
+        if k in ("image", "dem", "slope", "preflood", "pre_post_difference", "hand")
+    }
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        rng, init_batch, train=False
+    )
+    return TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        tx=build_optimizer(optimizer_name, lr),
+        batch_stats=variables.get("batch_stats"),
+    )

@@ -8,12 +8,23 @@ TPU build's own. Multi-chip sharding tests run on the XLA host platform with
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the session env points JAX at real TPU hardware via a tunnel
+# whose sitecustomize pins jax_platforms at interpreter start — env vars
+# alone are ineffective, so override the live jax config before the backend
+# initializes. Tests must run on the 8-device virtual host platform.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert len(jax.devices()) == 8 and jax.devices()[0].platform == "cpu", (
+    f"tests require the 8-device virtual CPU platform, got {jax.devices()}"
+)
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:

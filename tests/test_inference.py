@@ -1,0 +1,215 @@
+"""Inference tests: stitcher parity (host vs device), sliding-window engine,
+and the predict/infer CLI report layout."""
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from floodplanet_code_tpu.data.tiling import CropParams, crop_params_for_scene
+from floodplanet_code_tpu.data import generate_image_slice_object
+from floodplanet_code_tpu.inference.stitcher import (
+    DeviceStitcher,
+    ImageStitcher,
+    finalize_canvas,
+    make_tile_valid_mask,
+    stitch_batch,
+)
+
+
+class TestHostStitcher:
+    def test_overlap_average(self, tmp_path, rng):
+        st = ImageStitcher(str(tmp_path))
+        full = rng.random((40, 60, 2)).astype(np.float32)
+        sl = generate_image_slice_object(20, stride=10)
+        for cp in crop_params_for_scene(40, 60, sl):
+            tile = np.zeros((20, 20, 2), np.float32)
+            tile[: cp.height, : cp.width] = full[cp.h0 : cp.hE, cp.w0 : cp.wE]
+            st.add_image(tile, "scene", cp, 40, 60)
+        out = st.get_combined_images()["scene"]
+        np.testing.assert_allclose(out, full, atol=1e-4)
+
+    def test_save_class_thresholds(self, tmp_path):
+        st = ImageStitcher(str(tmp_path), image_type_name="pred_class")
+        cp = CropParams(0, 0, 4, 4, 4, 4, 4, 4)
+        st.add_image(np.full((4, 4), 0.7, np.float32), "img", cp, 4, 4)
+        paths, names, sizes = st.save_images(save_class=True)
+        from floodplanet_code_tpu.geo import tiff
+
+        saved = tiff.imread(paths[0])
+        np.testing.assert_allclose(saved, 1.0)
+
+    def test_pil_backend_scales(self, tmp_path):
+        st = ImageStitcher(str(tmp_path), image_type_name="gt", save_backend="PIL", save_ext=".png")
+        cp = CropParams(0, 0, 8, 8, 8, 8, 8, 8)
+        st.add_image(np.full((8, 8), 0.5, np.float32), "img", cp, 8, 8)
+        paths, _, _ = st.save_images()
+        from PIL import Image
+
+        arr = np.array(Image.open(paths[0]))
+        assert arr.max() > 100  # x255 heuristic applied
+
+
+class TestDeviceStitcher:
+    def test_matches_host_stitcher(self, rng):
+        """On-device scatter-add == host numpy stitcher (the oracle)."""
+        h, w, c = 50, 70, 3
+        sl = generate_image_slice_object(32, stride=16)
+        crops = crop_params_for_scene(h, w, sl)
+        tiles, offsets, heights, widths = [], [], [], []
+        host = ImageStitcher("/tmp/_unused_host_stitch")
+        for cp in crops:
+            tile = rng.random((32, 32, c)).astype(np.float32)
+            # zero out the padded region like the loader does
+            tile[cp.height :, :, :] = 0
+            tile[:, cp.width :, :] = 0
+            host.add_image(
+                tile[: cp.height, : cp.width], "s", cp, h, w
+            )
+            tiles.append(tile)
+            offsets.append([cp.h0, cp.w0])
+            heights.append(cp.height)
+            widths.append(cp.width)
+        dev = DeviceStitcher(c)
+        valid = make_tile_valid_mask(heights, widths, 32, 32)
+        dev.add_batch(
+            "s", h, w, jnp.asarray(np.stack(tiles)), np.array(offsets), valid
+        )
+        np.testing.assert_allclose(
+            dev.combined("s"), host.get_combined_images()["s"], atol=1e-4
+        )
+
+    def test_batch_valid_mask_excludes_padding(self, rng):
+        c = 1
+        cp = CropParams(0, 0, 8, 8, 8, 8, 8, 8)
+        tiles = np.ones((2, 8, 8, c), np.float32)
+        offsets = np.zeros((2, 2), np.int32)
+        valid = make_tile_valid_mask([8, 8], [8, 8], 8, 8, batch_valid=[1, 0])
+        canvas, weights = stitch_batch(
+            jnp.zeros((8, 8, c)),
+            jnp.zeros((8, 8)),
+            jnp.asarray(tiles),
+            jnp.asarray(offsets),
+            jnp.asarray(valid),
+        )
+        np.testing.assert_allclose(np.asarray(weights), 1.0)  # only 1 tile
+
+    def test_finalize_nan_scrub(self):
+        canvas = jnp.zeros((4, 4, 1))
+        weights = jnp.zeros((4, 4))
+        out = np.asarray(finalize_canvas(canvas, weights))
+        assert np.isfinite(out).all()
+
+
+@pytest.mark.slow
+class TestEndToEndInference:
+    @pytest.fixture(scope="class")
+    def trained_exp(self, synthetic_csdap_root, tmp_path_factory):
+        from floodplanet_code_tpu.config import compose
+        from floodplanet_code_tpu.train.fit import fit_model
+
+        cfg = compose(
+            overrides=[
+                "dataset.sensor=PS",
+                "eval_region=RegionA",
+                "crop_height=32",
+                "crop_width=32",
+                "crop_stride=32",
+                "batch_size=8",
+                "n_epochs=1",
+                "n_workers=2",
+                "lr=1e-3",
+                "limit_train_batches=3",
+                "limit_val_batches=2",
+                "tpu.compute_dtype=float32",
+                "transforms.rotate.active=false",
+            ]
+        )
+        cfg.dataset["dataset_kwargs"] = {"root_dir": synthetic_csdap_root}
+        exp_dir = str(tmp_path_factory.mktemp("exp_infer"))
+        best = fit_model(cfg, overwrite_exp_dir=exp_dir)
+        return exp_dir, best
+
+    def test_predict_cli_outputs(self, trained_exp):
+        from floodplanet_code_tpu.inference.predict import main as predict_main
+
+        exp_dir, best = trained_exp
+        metrics = predict_main([best, "--eval_dataset_split", "test"])
+        assert "test_MulticlassJaccardIndex" in metrics
+        pred_root = os.path.join(exp_dir, "predictions", "floodplanet")
+        assert os.path.isdir(pred_root)
+        region_dir = os.path.join(pred_root, "RegionA")
+        ckpt_dirs = os.listdir(region_dir)
+        pred_dir = os.path.join(region_dir, ckpt_dirs[0])
+        assert os.path.exists(os.path.join(pred_dir, "metrics.json"))
+        assert os.path.exists(
+            os.path.join(pred_dir, "ranked_images_F1-score.txt")
+        )
+        assert os.path.exists(os.path.join(pred_dir, "ranked_regions_iou.txt"))
+        scenes = os.listdir(
+            os.path.join(pred_dir, "image_predictions", "RegionA")
+        )
+        assert scenes
+        scene_dir = os.path.join(
+            pred_dir, "image_predictions", "RegionA", scenes[0]
+        )
+        for artifact in (
+            "rgb.png",
+            "pred_softmax.png",
+            "gt.png",
+            "pred_class.tif",
+            "cm.png",
+            "rgb_cm.gif",
+        ):
+            assert os.path.exists(os.path.join(scene_dir, artifact)), artifact
+        with open(os.path.join(pred_dir, "metrics.json")) as fh:
+            saved = json.load(fh)
+        assert saved["eval_dataset"] == "floodplanet"
+
+    def test_infer_cli_masks(self, trained_exp, synthetic_csdap_root):
+        from floodplanet_code_tpu.geo import tiff
+        from floodplanet_code_tpu.inference.infer import main as infer_main
+
+        exp_dir, best = trained_exp
+        written = infer_main(
+            [best, "floodplanet", "test", "--eval_region", "RegionA"]
+        )
+        assert written
+        mask = tiff.imread(written[0])
+        assert mask.dtype == np.uint8
+        assert mask.shape == (96, 128)
+        assert set(np.unique(mask)) <= {0, 255}
+
+    def test_stitched_probabilities_normalized(self, trained_exp):
+        """Overlap-averaged softmax stays a distribution."""
+        from floodplanet_code_tpu.config import load_experiment_config
+        from floodplanet_code_tpu.data import build_dataset
+        from floodplanet_code_tpu.inference.predict import load_model_for_eval
+        from floodplanet_code_tpu.inference.sliding import sliding_window_predict
+
+        exp_dir, best = trained_exp
+        cfg = load_experiment_config(exp_dir)
+        slice_params = generate_image_slice_object(32, stride=16)
+        ds = build_dataset(
+            "floodplanet",
+            "test",
+            slice_params,
+            sensor="PS",
+            eval_region="RegionA",
+            ignore_index=0,
+            output_metadata=True,
+            **(cfg.dataset.get("dataset_kwargs") or {}),
+        )
+        model, variables = load_model_for_eval(cfg, best, ds)
+        results = list(
+            sliding_window_predict(model, variables, ds, batch_size=8)
+        )
+        assert len(results) == 2  # RegionA has 2 scenes
+        for scene in results:
+            probs = scene["probabilities"]
+            assert probs.shape == (96, 128, 3)
+            np.testing.assert_allclose(
+                probs.sum(axis=-1), 1.0, atol=1e-3
+            )

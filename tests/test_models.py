@@ -1,0 +1,202 @@
+"""Model tests: shapes, param structure, gradients, fusion variants.
+
+Fixture pattern follows the reference's executable smoke blocks
+(unet.py:203-222, ef_model.py:50-65, lf_model.py:95-110): small fake
+tensors, in_channels dicts like {'ms_image': 4, 'dem': 1, 'slope': 1}."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from floodplanet_code_tpu.models import (
+    UNet,
+    UNetDecoder,
+    UNetEncoder,
+    build_model,
+)
+
+
+def param_count(params):
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+
+
+class TestUNet:
+    def test_forward_shape(self):
+        model = UNet(n_classes=3)
+        x = jnp.zeros((2, 64, 64, 4))
+        variables = model.init(jax.random.key(0), x)
+        out = model.apply(variables, x)
+        assert out.shape == (2, 64, 64, 3)
+        assert out.dtype == jnp.float32
+
+    def test_odd_size_pad_to_match(self):
+        # Odd sizes (75 -> 37 -> 18 -> 9 -> 4) force shape mismatches on the
+        # way up; pad-to-match must reconcile the skips (unet.py:57-63).
+        # (The reference's own odd case is its 300x300 training crop.)
+        model = UNet(n_classes=2)
+        x = jnp.zeros((1, 75, 75, 3))
+        variables = model.init(jax.random.key(0), x)
+        out = jax.jit(model.apply)(variables, x)
+        assert out.shape == (1, 75, 75, 2)
+
+    def test_param_count_matches_reference_architecture(self):
+        # Torch UNet(4, 3, bilinear=True) has 17,267,homogeneous params; our
+        # convs drop the pre-BN bias (folded into BN beta), so expect the
+        # torch count minus the per-conv biases. Verify against a live torch
+        # computation to pin the architecture.
+        import torch.nn as tnn
+
+        class TorchDoubleConv(tnn.Module):
+            def __init__(self, cin, cout, mid=None):
+                super().__init__()
+                mid = mid or cout
+                self.seq = tnn.Sequential(
+                    tnn.Conv2d(cin, mid, 3, padding=1, bias=False),
+                    tnn.BatchNorm2d(mid),
+                    tnn.ReLU(),
+                    tnn.Conv2d(mid, cout, 3, padding=1, bias=False),
+                    tnn.BatchNorm2d(cout),
+                    tnn.ReLU(),
+                )
+
+        modules = []
+        modules.append(TorchDoubleConv(4, 64))
+        for cin, cout in [(64, 128), (128, 256), (256, 512), (512, 512)]:
+            modules.append(TorchDoubleConv(cin, cout))
+        for cin, cout, mid in [
+            (1024, 256, 512),
+            (512, 128, 256),
+            (256, 64, 128),
+            (128, 64, None),
+        ]:
+            modules.append(TorchDoubleConv(cin, cout, mid))
+        torch_params = sum(
+            p.numel() for m in modules for p in m.parameters()
+        ) + (64 * 3 + 3)  # 1x1 out conv
+
+        model = UNet(n_classes=3)
+        variables = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 4)))
+        ours = param_count(variables["params"])
+        assert ours == torch_params
+
+    def test_bf16_compute_f32_params(self):
+        model = UNet(n_classes=3, dtype=jnp.bfloat16)
+        x = jnp.zeros((1, 32, 32, 2))
+        variables = model.init(jax.random.key(0), x)
+        for leaf in jax.tree.leaves(variables["params"]):
+            assert leaf.dtype == jnp.float32
+        out = model.apply(variables, x)
+        assert out.dtype == jnp.float32  # logits cast back
+
+    def test_batch_stats_updated_in_train_mode(self):
+        model = UNet(n_classes=2)
+        x = jax.random.normal(jax.random.key(1), (2, 32, 32, 3))
+        variables = model.init(jax.random.key(0), x)
+        _, mutated = model.apply(
+            variables, x, train=True, mutable=["batch_stats"]
+        )
+        before = jax.tree.leaves(variables["batch_stats"])
+        after = jax.tree.leaves(mutated["batch_stats"])
+        assert any(
+            not np.allclose(np.asarray(b), np.asarray(a))
+            for b, a in zip(before, after)
+        )
+
+    def test_encoder_decoder_split(self):
+        enc = UNetEncoder()
+        dec = UNetDecoder(n_classes=2)
+        x = jnp.zeros((1, 64, 64, 3))
+        enc_vars = enc.init(jax.random.key(0), x)
+        feats = enc.apply(enc_vars, x)
+        assert [f.shape[-1] for f in feats] == [64, 128, 256, 512, 512]
+        assert [f.shape[1] for f in feats] == [64, 32, 16, 8, 4]
+        dec_vars = dec.init(jax.random.key(1), feats)
+        out = dec.apply(dec_vars, feats)
+        assert out.shape == (1, 64, 64, 2)
+
+
+class TestTaskModels:
+    def _batch(self, rng, with_aux=False):
+        batch = {
+            "image": jnp.asarray(
+                rng.standard_normal((2, 64, 64, 4)).astype(np.float32)
+            )
+        }
+        if with_aux:
+            batch["dem"] = jnp.ones((2, 64, 64, 1))
+            batch["slope"] = jnp.ones((2, 64, 64, 1))
+        return batch
+
+    def test_ms_model(self, rng):
+        model = build_model("ms_model", {"ms_image": 4}, 3)
+        batch = self._batch(rng)
+        variables = model.init(jax.random.key(0), batch)
+        out = model.apply(variables, batch)
+        assert out.shape == (2, 64, 64, 3)
+
+    def test_ef_model_concats_aux(self, rng):
+        model = build_model("ef_model", {"ms_image": 4, "dem": 1, "slope": 1}, 2)
+        batch = self._batch(rng, with_aux=True)
+        variables = model.init(jax.random.key(0), batch)
+        out = model.apply(variables, batch)
+        assert out.shape == (2, 64, 64, 2)
+        # First conv consumes 4 + 1 + 1 = 6 channels.
+        first_kernel = jax.tree.leaves(
+            {"k": variables["params"]}, is_leaf=lambda x: hasattr(x, "shape")
+        )
+        kernels = [
+            p
+            for p in jax.tree.leaves(variables["params"])
+            if p.ndim == 4 and p.shape[:2] == (3, 3)
+        ]
+        assert any(k.shape[2] == 6 for k in kernels)
+
+    def test_lf_model_multi_encoder(self, rng):
+        in_channels = {"ms_image": 4, "dem": 1, "slope": 1}
+        model = build_model("lf_model", in_channels, 2)
+        batch = self._batch(rng, with_aux=True)
+        variables = model.init(jax.random.key(0), batch)
+        out = model.apply(variables, batch)
+        assert out.shape == (2, 64, 64, 2)
+        names = set(variables["params"].keys())
+        assert {"encoder_ms_image", "encoder_dem", "encoder_slope"} <= names
+        assert "concat_conv_0" in names
+
+    def test_lf_model_missing_modality_raises(self, rng):
+        model = build_model("lf_model", {"ms_image": 4, "dem": 1}, 2)
+        batch = self._batch(rng, with_aux=False)
+        with pytest.raises(KeyError):
+            model.init(jax.random.key(0), batch)
+
+    def test_unknown_model_raises(self):
+        with pytest.raises(KeyError):
+            build_model("bogus", {"ms_image": 4}, 2)
+
+    def test_gradients_flow(self, rng):
+        model = build_model("ms_model", {"ms_image": 2}, 3)
+        batch = {
+            "image": jnp.asarray(
+                rng.standard_normal((1, 32, 32, 2)).astype(np.float32)
+            )
+        }
+        target = jnp.asarray(rng.integers(0, 3, (1, 32, 32)).astype(np.int32))
+        variables = model.init(jax.random.key(0), batch)
+
+        from floodplanet_code_tpu.ops.losses import cross_entropy_ignore
+
+        def loss_fn(params):
+            logits, _ = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                batch,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            return cross_entropy_ignore(logits, target, 0)
+
+        grads = jax.grad(loss_fn)(variables["params"])
+        flat = np.concatenate(
+            [np.asarray(g).ravel() for g in jax.tree.leaves(grads)]
+        )
+        assert np.isfinite(flat).all()
+        assert np.abs(flat).sum() > 0

@@ -1,0 +1,251 @@
+"""Training tests: sharded step semantics, loss descent, checkpoint top-k,
+resume, and an end-to-end smoke fit on the synthetic CSDAP tree."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from floodplanet_code_tpu.config import compose
+from floodplanet_code_tpu.data.augment import TransformParams, augment_batch
+from floodplanet_code_tpu.models import build_model
+from floodplanet_code_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicate_state,
+)
+from floodplanet_code_tpu.train.checkpoint import CheckpointManager
+from floodplanet_code_tpu.train.fit import (
+    fit_model,
+    make_eval_step,
+    make_train_step,
+    resolve_ignore_index,
+)
+from floodplanet_code_tpu.train.state import create_train_state
+
+
+def tiny_batch(rng, b=8, hw=32, c=2):
+    image = rng.standard_normal((b, hw, hw, c)).astype(np.float32)
+    target = rng.integers(0, 2, (b, hw, hw)).astype(np.int32)
+    # Make the task learnable: class = image channel 0 thresholded.
+    target = (image[..., 0] > 0).astype(np.int32)
+    return {
+        "image": image,
+        "target": target,
+        "valid": np.ones((b,), bool),
+    }
+
+
+NO_AUG = TransformParams(False, 0, False, 0, False, 0)
+
+
+class TestIgnoreRemap:
+    def test_minus_one_maps_to_last(self):
+        assert resolve_ignore_index(-1, 3) == 2
+        assert resolve_ignore_index(0, 3) == 0
+
+
+class TestTrainStep:
+    def test_loss_decreases(self, rng):
+        model = build_model("ms_model", {"ms_image": 2}, 3)
+        batch = tiny_batch(rng)
+        state = create_train_state(model, batch, lr=1e-3)
+        step = make_train_step(model, 0, NO_AUG)
+        key = jax.random.key(0)
+        first = None
+        for i in range(12):
+            key, sub = jax.random.split(key)
+            state, logs = step(state, {k: jnp.asarray(v) for k, v in batch.items()}, sub)
+            if first is None:
+                first = float(logs["loss"])
+        assert float(logs["loss"]) < first
+
+    def test_sharded_step_matches_single_device(self, rng):
+        """The SPMD-sharded step must be numerically equivalent."""
+        model = build_model("ms_model", {"ms_image": 2}, 3, dtype=jnp.float32)
+        batch = tiny_batch(rng, b=8)
+        # Two independent states from the same seed (deterministic init);
+        # the train step donates its input state so no aliasing is allowed.
+        state1 = create_train_state(model, batch, lr=1e-3, seed=0)
+        state2 = create_train_state(model, batch, lr=1e-3, seed=0)
+
+        step = make_train_step(model, 0, NO_AUG)
+        key = jax.random.key(0)
+
+        # Single device.
+        jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+        state1, logs1 = step(state1, jbatch, key)
+
+        # 8-device mesh.
+        mesh = make_mesh()
+        sharding = batch_sharding(mesh)
+        state2 = replicate_state(state2, mesh)
+        sbatch = {k: jax.device_put(jnp.asarray(v), sharding) for k, v in batch.items()}
+        state2, logs2 = step(state2, sbatch, key)
+
+        assert float(logs1["loss"]) == pytest.approx(float(logs2["loss"]), rel=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(logs1["confusion"]), np.asarray(logs2["confusion"]), atol=0.5
+        )
+        p1 = np.concatenate(
+            [np.asarray(x).ravel() for x in jax.tree.leaves(state1.params)]
+        )
+        p2 = np.concatenate(
+            [np.asarray(x).ravel() for x in jax.tree.leaves(state2.params)]
+        )
+        # Adam's first update is +-lr elementwise and flips sign for
+        # near-zero gradients under different reduction orders; bound the
+        # divergence by one full step (2*lr) and require it to be rare.
+        np.testing.assert_allclose(p1, p2, atol=2.1e-3)
+        frac_diff = np.mean(np.abs(p1 - p2) > 1e-4)
+        assert frac_diff < 0.01
+
+    def test_eval_step_masks_padding(self, rng):
+        model = build_model("ms_model", {"ms_image": 2}, 3)
+        batch = tiny_batch(rng, b=4)
+        state = create_train_state(model, batch, lr=1e-3)
+        eval_step = make_eval_step(model, 0)
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        full = eval_step(state, jb)
+        # Mark half the batch invalid: confusion total must shrink.
+        jb2 = dict(jb)
+        jb2["valid"] = jnp.asarray([True, True, False, False])
+        half = eval_step(state, jb2)
+        assert float(half["confusion"].sum()) < float(full["confusion"].sum())
+
+
+class TestAugment:
+    def test_flips_are_applied_consistently(self, rng):
+        params = TransformParams(True, 1.0, False, 0, False, 0)  # always hflip
+        image = jnp.asarray(rng.standard_normal((2, 8, 8, 3)).astype(np.float32))
+        target = jnp.asarray(rng.integers(0, 2, (2, 8, 8)).astype(np.int32))
+        out_img, out_tgt = augment_batch(jax.random.key(0), image, target, params, 0)
+        np.testing.assert_allclose(np.asarray(out_img), np.asarray(image[:, :, ::-1, :]), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(out_tgt), np.asarray(target[:, :, ::-1]))
+
+    def test_rotation_preserves_label_values(self, rng):
+        params = TransformParams(False, 0, False, 0, True, 1.0, 10.0, 80.0)
+        image = jnp.asarray(rng.standard_normal((2, 16, 16, 1)).astype(np.float32))
+        target = jnp.asarray(
+            rng.choice([0, 1, 2], (2, 16, 16)).astype(np.int32)
+        )
+        _, out_tgt = augment_batch(jax.random.key(1), image, target, params, 0)
+        assert set(np.unique(np.asarray(out_tgt))) <= {0, 1, 2}
+
+    def test_fill_ignore_label_fill(self, rng):
+        params = TransformParams(
+            False, 0, False, 0, True, 1.0, 45.0, 45.0, fill_ignore=True
+        )
+        image = jnp.ones((1, 16, 16, 1), jnp.float32)
+        target = jnp.ones((1, 16, 16), jnp.int32)
+        _, out_tgt = augment_batch(jax.random.key(2), image, target, params, 2)
+        # 45-degree rotation clips corners -> ignore_index fill appears.
+        assert (np.asarray(out_tgt) == 2).any()
+
+    def test_inactive_is_identity(self, rng):
+        image = jnp.asarray(rng.standard_normal((2, 8, 8, 2)).astype(np.float32))
+        target = jnp.zeros((2, 8, 8), jnp.int32)
+        out_img, out_tgt = augment_batch(jax.random.key(0), image, target, NO_AUG, 0)
+        np.testing.assert_array_equal(np.asarray(out_img), np.asarray(image))
+
+
+class TestCheckpointManager:
+    def _dummy_state(self, value):
+        return {"params": {"w": np.full((4,), value, np.float32)}, "step": value}
+
+    def test_topk_retention(self, tmp_path):
+        mgr = CheckpointManager(str(tmp_path), save_top_k=2)
+        for epoch, iou in enumerate([0.3, 0.6, 0.4, 0.9, 0.1]):
+            mgr.save(
+                self._dummy_state(epoch),
+                epoch,
+                {"val_MulticlassJaccardIndex": iou},
+            )
+        names = sorted(os.listdir(mgr.ckpt_dir))
+        kept = [n for n in names if n.startswith("model-")]
+        # top-2 (0.9, 0.6) + latest (epoch 4, 0.1)
+        assert len(kept) == 3
+        assert "model-epoch=03-val_MulticlassJaccardIndex=0.9000" in kept
+        assert mgr.best_model_path.endswith("0.9000")
+        assert mgr.latest_epoch == 4
+
+    def test_restore_roundtrip(self, tmp_path):
+        mgr = CheckpointManager(str(tmp_path), save_top_k=1)
+        state = self._dummy_state(7)
+        mgr.save(state, 0, {"val_MulticlassJaccardIndex": 0.5})
+        template = self._dummy_state(0)
+        restored = mgr.restore(mgr.best_model_path, template)
+        np.testing.assert_array_equal(restored["params"]["w"], state["params"]["w"])
+
+    def test_metrics_json_written(self, tmp_path):
+        mgr = CheckpointManager(str(tmp_path), save_top_k=1)
+        mgr.save(self._dummy_state(1), 3, {"val_MulticlassJaccardIndex": 0.42})
+        with open(os.path.join(mgr.best_model_path, "metrics.json")) as fh:
+            metrics = json.load(fh)
+        assert metrics["epoch"] == 3
+        assert metrics["val_MulticlassJaccardIndex"] == pytest.approx(0.42)
+
+
+@pytest.mark.slow
+class TestEndToEnd:
+    def test_smoke_fit(self, synthetic_csdap_root, tmp_path):
+        """Tiny end-to-end train run on the synthetic CSDAP tree
+        (BASELINE.json configs[0] shape: small crops, one held-out region)."""
+        cfg = compose(
+            overrides=[
+                "dataset.sensor=PS",
+                "eval_region=RegionA",
+                "crop_height=32",
+                "crop_width=32",
+                "crop_stride=32",
+                "batch_size=8",
+                "n_epochs=2",
+                "n_workers=2",
+                "lr=1e-3",
+                "limit_train_batches=4",
+                "limit_val_batches=4",
+                "save_topk_models=2",
+                "tpu.compute_dtype=float32",
+                "transforms.rotate.active=false",
+            ]
+        )
+        cfg.dataset["dataset_kwargs"] = {"root_dir": synthetic_csdap_root}
+        exp_dir = str(tmp_path / "exp")
+        best = fit_model(cfg, overwrite_exp_dir=exp_dir)
+        assert best and os.path.exists(best)
+        assert os.path.exists(os.path.join(exp_dir, "hydra", "config.yaml"))
+        assert os.path.isdir(os.path.join(exp_dir, "tensorboard_logs"))
+        with open(os.path.join(best, "metrics.json")) as fh:
+            metrics = json.load(fh)
+        assert "val_MulticlassJaccardIndex" in metrics
+
+    def test_resume_from_checkpoint(self, synthetic_csdap_root, tmp_path):
+        overrides = [
+            "dataset.sensor=PS",
+            "eval_region=RegionA",
+            "crop_height=32",
+            "crop_width=32",
+            "crop_stride=32",
+            "batch_size=8",
+            "n_epochs=1",
+            "n_workers=2",
+            "limit_train_batches=2",
+            "limit_val_batches=2",
+            "tpu.compute_dtype=float32",
+            "transforms.hflip.active=false",
+            "transforms.vflip.active=false",
+            "transforms.rotate.active=false",
+        ]
+        cfg = compose(overrides=overrides)
+        cfg.dataset["dataset_kwargs"] = {"root_dir": synthetic_csdap_root}
+        exp_dir = str(tmp_path / "exp_resume")
+        fit_model(cfg, overwrite_exp_dir=exp_dir)
+        # Second run with more epochs resumes from epoch 1.
+        cfg2 = compose(overrides=overrides + ["n_epochs=2"])
+        cfg2.dataset["dataset_kwargs"] = {"root_dir": synthetic_csdap_root}
+        fit_model(cfg2, overwrite_exp_dir=exp_dir)
+        mgr = CheckpointManager(exp_dir)
+        assert mgr.latest_epoch == 1
