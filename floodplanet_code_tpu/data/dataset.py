@@ -405,6 +405,81 @@ class FloodPlanetDataset:
             }
         return output
 
+    def load_batch(
+        self, indices: Sequence[int], output_metadata: bool | None = None
+    ) -> list[dict]:
+        """Load many examples, batching windowed reads through one native
+        call (geo.tiff.read_windows_batch — C++ thread pool, single GIL
+        release). Scenes needing the resize path fall back to per-example
+        loading through the scene cache.
+        """
+        if output_metadata is None:
+            output_metadata = self.output_metadata
+        fast: list[int] = []
+        results: dict[int, dict] = {}
+        for pos, index in enumerate(indices):
+            example = self.dataset[index]
+            nfo = tiff.info(example.image_path)
+            cp = example.crop_params
+            if (nfo.height, nfo.width) == (cp.og_height, cp.og_width):
+                fast.append(pos)
+            else:
+                results[pos] = self.load_example(index, output_metadata)
+
+        if fast:
+            paths, windows = [], []
+            for pos in fast:
+                example = self.dataset[indices[pos]]
+                cp = example.crop_params
+                # interleave image and label reads in one native batch
+                paths.append(example.image_path)
+                windows.append((cp.h0, cp.w0, cp.height, cp.width))
+                paths.append(example.label_path)
+                windows.append((cp.h0, cp.w0, cp.height, cp.width))
+            raw = tiff.read_windows_batch(paths, windows)
+            for slot, pos in enumerate(fast):
+                example = self.dataset[indices[pos]]
+                cp = example.crop_params
+                window = raw[2 * slot]
+                if window.ndim == 2:
+                    window = window[None]
+                window = sensor_lib.select_channels(
+                    window, self.sensor, self.channels
+                )
+                image = sensor_lib.normalize_sensor_range(window, self.sensor)
+                target = binarize_label(raw[2 * slot + 1], self.ignore_index)
+                image, mean, std = normalize_stats(
+                    image,
+                    self.norm_mode,
+                    global_params=self.global_norm_params,
+                    input_type=self.sensor,
+                )
+                image = pad_to_shape(
+                    image, cp.max_crop_height, cp.max_crop_width
+                )
+                target = pad_to_shape(
+                    target,
+                    cp.max_crop_height,
+                    cp.max_crop_width,
+                    constant_value=self.ignore_index,
+                )
+                out = {
+                    "image": np.ascontiguousarray(
+                        np.transpose(image, (1, 2, 0)), dtype=np.float32
+                    ),
+                    "target": target.astype(np.int32),
+                    "mean": np.transpose(mean, (1, 2, 0)).astype(np.float32),
+                    "std": np.transpose(std, (1, 2, 0)).astype(np.float32),
+                }
+                if output_metadata:
+                    out["metadata"] = {
+                        "image_path": example.image_path,
+                        "crop_params": cp,
+                        "region_name": example.region_name,
+                    }
+                results[pos] = out
+        return [results[pos] for pos in range(len(indices))]
+
     # Indexing alias for API familiarity with the reference dataset.
     def __getitem__(self, index: int, output_metadata: bool | None = None) -> dict:
         return self.load_example(index, output_metadata)

@@ -79,43 +79,48 @@ class BatchLoader:
     def __iter__(self) -> Iterator[dict]:
         order = self._epoch_order()
         n = len(order)
+        use_batch_api = hasattr(self.dataset, "load_batch")
+
+        # Partition the epoch into batch index lists up front.
+        batches: list[list[int]] = []
+        position = 0
+        while position < n:
+            end = min(position + self.batch_size, n)
+            if end - position < self.batch_size and self.drop_last:
+                break
+            batches.append([int(order[i]) for i in range(position, end)])
+            position = end
+
+        def load(batch_indices: list[int]) -> list[dict]:
+            if use_batch_api:
+                # One native batch-read call (C++ thread pool inside).
+                return self.dataset.load_batch(
+                    batch_indices, self.output_metadata
+                )
+            return [
+                self.dataset.load_example(i, self.output_metadata)
+                for i in batch_indices
+            ]
+
         with ThreadPoolExecutor(max_workers=self.n_workers) as pool:
-            # Keep a bounded window of example futures in flight.
-            window = self.batch_size * 3
-            futures = {}
-            submitted = 0
-
-            def submit_upto(limit):
-                nonlocal submitted
-                while submitted < min(limit, n):
-                    idx = int(order[submitted])
-                    futures[submitted] = pool.submit(
-                        self.dataset.load_example, idx, self.output_metadata
-                    )
-                    submitted += 1
-
-            submit_upto(window)
-            position = 0
-            while position < n:
-                end = min(position + self.batch_size, n)
-                count = end - position
-                if count < self.batch_size and self.drop_last:
-                    for f in futures.values():
-                        f.cancel()
-                    return
-                examples = []
-                for i in range(position, end):
-                    examples.append(futures.pop(i).result())
-                    submit_upto(i + 1 + window)
-                n_valid = count
-                if count < self.batch_size and self.pad_final:
+            inflight = 3  # batches in flight
+            futures = {
+                i: pool.submit(load, batches[i])
+                for i in range(min(inflight, len(batches)))
+            }
+            for b in range(len(batches)):
+                examples = futures.pop(b).result()
+                nxt = b + inflight
+                if nxt < len(batches):
+                    futures[nxt] = pool.submit(load, batches[nxt])
+                n_valid = len(examples)
+                if n_valid < self.batch_size and self.pad_final:
                     # Pad with duplicates of the last example; 'valid' masks
                     # them out of metrics and stitching.
-                    examples.extend(
-                        [examples[-1]] * (self.batch_size - count)
+                    examples = examples + [examples[-1]] * (
+                        self.batch_size - n_valid
                     )
                 yield self._assemble(examples, n_valid)
-                position = end
 
 
 def device_prefetch(iterator, sharding=None, size: int = 2):

@@ -26,6 +26,9 @@
 #include <fcntl.h>
 #include <unistd.h>
 
+#include <atomic>
+#include <thread>
+
 namespace {
 
 thread_local std::string g_error;
@@ -659,6 +662,36 @@ int64_t tiffio_geo_tags(void *handle, uint8_t *dst, int64_t capacity) {
     written += need;
   }
   return written;
+}
+
+// Batch windowed read with an internal thread pool. For each i < n, reads
+// window (y0,x0,h,w) = windows[4*i..] from handles[i] into dsts[i]
+// (band-sequential CHW, native dtype). Handles may repeat (same scene);
+// the pread-based reader is safe to share across threads. Returns 0 if all
+// reads succeeded, else the count of failures.
+extern "C" int64_t tiffio_read_windows_batch(void **handles,
+                                             const int64_t *windows,
+                                             int64_t n, void **dsts,
+                                             int64_t n_threads) {
+  if (n <= 0) return 0;
+  if (n_threads <= 0) n_threads = 4;
+  if (n_threads > n) n_threads = n;
+  std::atomic<int64_t> next(0), failures(0);
+  auto worker = [&]() {
+    while (true) {
+      int64_t i = next.fetch_add(1);
+      if (i >= n) break;
+      Reader *r = (Reader *)handles[i];
+      const int64_t *w = windows + 4 * i;
+      if (!r->read_window(w[0], w[1], w[2], w[3], (uint8_t *)dsts[i]))
+        failures.fetch_add(1);
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int64_t t = 1; t < n_threads; ++t) pool.emplace_back(worker);
+  worker();
+  for (auto &t : pool) t.join();
+  return failures.load();
 }
 
 }  // extern "C"

@@ -85,6 +85,14 @@ def _load_library() -> ctypes.CDLL:
             ctypes.c_void_p,
             ctypes.c_int64,
         ]
+        lib.tiffio_read_windows_batch.restype = ctypes.c_int64
+        lib.tiffio_read_windows_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.c_int64,
+        ]
         _lib = lib
         return lib
 
@@ -221,6 +229,42 @@ def imread(path: str) -> np.ndarray:
 
 def read_window(path: str, y0: int, x0: int, height: int, width: int) -> np.ndarray:
     return _cached_file(path).read_window(y0, x0, height, width)
+
+
+def read_windows_batch(
+    paths: list[str],
+    windows: list[tuple[int, int, int, int]],
+    n_threads: int = 8,
+) -> list[np.ndarray]:
+    """Read many windows in one native call (C++ thread pool, single GIL
+    release). Each result is CHW (or HW if single-band) in native dtype.
+
+    The native data-loader hot path: the whole batch's tile reads run in
+    parallel worker threads inside libtiffio, replacing the reference's
+    per-sample python DataLoader reads (SURVEY.md §2.4, §3.4).
+    """
+    lib = _load_library()
+    n = len(paths)
+    assert len(windows) == n
+    files = [_cached_file(p) for p in paths]
+    outs = []
+    handles = (ctypes.c_void_p * n)()
+    dsts = (ctypes.c_void_p * n)()
+    win_arr = (ctypes.c_int64 * (4 * n))()
+    for i, (f, (y0, x0, h, w)) in enumerate(zip(files, windows)):
+        info_ = f.info
+        out = np.empty((info_.samples, h, w), dtype=info_.dtype)
+        outs.append(out)
+        handles[i] = f._handle
+        dsts[i] = out.ctypes.data_as(ctypes.c_void_p).value
+        win_arr[4 * i : 4 * i + 4] = [y0, x0, h, w]
+    failures = lib.tiffio_read_windows_batch(handles, win_arr, n, dsts, n_threads)
+    if failures:
+        raise IOError(
+            f"tiffio batch read: {failures}/{n} windows failed "
+            f"({lib.tiffio_error().decode()})"
+        )
+    return [o[0] if o.shape[0] == 1 else o for o in outs]
 
 
 # ---------------------------------------------------------------------------

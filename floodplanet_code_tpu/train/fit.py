@@ -230,7 +230,19 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
 
     from tensorboardX import SummaryWriter
 
+    from floodplanet_code_tpu.train.logging import log_image_panel
+
     writer = SummaryWriter(os.path.join(exp_dir, "tensorboard_logs"))
+
+    @jax.jit
+    def logits_step(state: TrainState, image):
+        variables = {"params": state.params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+        return model.apply(variables, {"image": image}, train=False)
+
+    log_image_iter = cfg.select("log_image_iter") or 0
+    to_rgb_fn = train_dataset.to_RGB
 
     rng = jax.random.key(cfg.seed_num or 0)
     profiler_mode = cfg.select("profiler")
@@ -273,6 +285,21 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
                 )
                 for key, value in step_metrics.items():
                     writer.add_scalar(key, float(value), global_step)
+            if log_image_iter and global_step % log_image_iter == 0:
+                # RGB | prediction-CM panel (functional version of the
+                # reference's disabled image logging, water_seg_model.py:115).
+                logits = logits_step(state, batch["image"])
+                log_image_panel(
+                    writer,
+                    f"train_s{global_step}",
+                    np.asarray(batch["image"][0]),
+                    np.asarray(batch["mean"][0]),
+                    np.asarray(batch["std"][0]),
+                    np.asarray(logits[0]),
+                    np.asarray(batch["target"][0]),
+                    to_rgb_fn,
+                    global_step,
+                )
 
         if profiler_mode == "advanced" and epoch == start_epoch:
             jax.profiler.stop_trace()
