@@ -38,6 +38,11 @@ class TransformParams:
     min_rot_angle: float = 0.0
     max_rot_angle: float = 360.0
     fill_ignore: bool = False
+    # Rotation backend: "shear" (3-shear decomposition, TPU-fast; see
+    # ops/rotate.py), "shear_pallas" (Pallas row-shear kernel), or
+    # "map_coordinates" (direct bilinear gather — slow on TPU, kept as the
+    # correctness oracle).
+    rotate_impl: str = "shear"
 
     @classmethod
     def from_config(cls, transforms_cfg) -> "TransformParams":
@@ -129,15 +134,47 @@ def augment_batch(
 
     label_fill = float(ignore_index) if params.fill_ignore else 0.0
 
-    def one(img, tgt, fh, fv, angle):
+    def flips(img, tgt, fh, fv):
         img = jnp.where(fh, img[:, ::-1, :], img)
         tgt = jnp.where(fh, tgt[:, ::-1], tgt)
         img = jnp.where(fv, img[::-1, :, :], img)
         tgt = jnp.where(fv, tgt[::-1, :], tgt)
-        img = _rotate_one(img, angle, order=1, cval=0.0)
-        tgt_f = _rotate_one(
-            tgt[:, :, None].astype(jnp.float32), angle, order=0, cval=label_fill
-        )[:, :, 0]
-        return img, tgt_f.astype(tgt.dtype)
+        return img, tgt
 
-    return jax.vmap(one)(image, target, do_h, do_v, angles)
+    image, target = jax.vmap(flips)(image, target, do_h, do_v)
+
+    if params.rotate_active:
+        angles_deg = angles * (180.0 / jnp.pi)
+        rotate_impl = params.rotate_impl
+        if image.shape[1] != image.shape[2]:
+            # Quarter-turn reduction needs square tiles; non-square crops
+            # fall back to the direct-bilinear path.
+            rotate_impl = "map_coordinates"
+        if rotate_impl in ("shear", "shear_pallas"):
+            from floodplanet_code_tpu.ops.rotate import rotate_batch
+
+            impl = "pallas" if params.rotate_impl == "shear_pallas" else "gather"
+            image = rotate_batch(image, angles_deg, order=1, cval=0.0, impl=impl)
+            tgt_f = rotate_batch(
+                target[..., None].astype(jnp.float32),
+                angles_deg,
+                order=0,
+                cval=label_fill,
+                impl=impl,
+            )[..., 0]
+            target = tgt_f.astype(target.dtype)
+        else:  # map_coordinates oracle path
+
+            def rot(img, tgt, angle):
+                img = _rotate_one(img, angle, order=1, cval=0.0)
+                tgt_f = _rotate_one(
+                    tgt[:, :, None].astype(jnp.float32),
+                    angle,
+                    order=0,
+                    cval=label_fill,
+                )[:, :, 0]
+                return img, tgt_f.astype(tgt.dtype)
+
+            image, target = jax.vmap(rot)(image, target, angles)
+
+    return image, target

@@ -1,0 +1,216 @@
+"""Fast batched image rotation for on-device augmentation.
+
+Why: the natural JAX rotation (2-D bilinear ``map_coordinates``) lowers to
+random-access gathers, which are catastrophically slow on TPU — measured
+~56 ms per 512x512x4 tile, making the reference's default rotate
+augmentation (conf/config.yaml:47-51) dominate the train step.
+
+This module implements rotation by the classic 3-shear (Paeth)
+decomposition:
+
+    R(theta) = ShearX(a) . ShearY(b) . ShearX(a),  a = -tan(theta/2), b = sin(theta)
+
+Each shear resamples along ONE axis with a per-row (or per-column) constant
+fractional shift — no 2-D gather. Angles outside (-45, 45] degrees are first
+reduced by a quarter-turn rotation (transpose + flips, which are layout ops,
+nearly free on TPU).
+
+Two interchangeable shear backends:
+- ``impl="gather"``: ``jnp.take_along_axis`` along the minor axis (still a
+  gather, but axis-aligned).
+- ``impl="pallas"``: a Pallas kernel that walks rows with dynamic VMEM
+  slices and blends two shifted row reads — no gather at all.
+
+Semantics follow torchvision F.rotate (reference base_dataset.py:517-531):
+counter-clockwise rotation about the image center, bilinear for images
+(order=1), nearest for labels (order=0), constant fill. Paeth shears are an
+approximation of direct bilinear resampling: sub-pixel differences vs
+map_coordinates are expected and fine for augmentation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+# ---------------------------------------------------------------------------
+# Shear primitives.
+# ---------------------------------------------------------------------------
+
+
+def _row_shifts(shear: jnp.ndarray, n_rows: int) -> jnp.ndarray:
+    """Per-row signed fractional shift for ShearX: shift_y = shear*(y - cy)."""
+    cy = (n_rows - 1) / 2.0
+    rows = jnp.arange(n_rows, dtype=jnp.float32)
+    return shear[..., None] * (rows - cy)  # [..., H]
+
+
+def _shear_x_gather(
+    img: jnp.ndarray,  # [H, W, C]
+    shifts: jnp.ndarray,  # [H] fractional shifts (in pixels)
+    order: int,
+    cval: float,
+) -> jnp.ndarray:
+    """ShearX via take_along_axis: out[y, x] = in[y, x + shift_y]."""
+    h, w, c = img.shape
+    x = jnp.arange(w, dtype=jnp.float32)[None, :]  # [1, W]
+    src = x + shifts[:, None]  # [H, W]
+    if order == 0:
+        idx = jnp.round(src).astype(jnp.int32)
+        valid = (idx >= 0) & (idx < w)
+        gathered = jnp.take_along_axis(
+            img, jnp.clip(idx, 0, w - 1)[:, :, None], axis=1
+        )
+        return jnp.where(valid[:, :, None], gathered, cval)
+    idx0 = jnp.floor(src).astype(jnp.int32)
+    frac = (src - idx0.astype(jnp.float32))[:, :, None]
+    valid0 = (idx0 >= 0) & (idx0 < w)
+    valid1 = (idx0 + 1 >= 0) & (idx0 + 1 < w)
+    g0 = jnp.take_along_axis(img, jnp.clip(idx0, 0, w - 1)[:, :, None], axis=1)
+    g1 = jnp.take_along_axis(
+        img, jnp.clip(idx0 + 1, 0, w - 1)[:, :, None], axis=1
+    )
+    g0 = jnp.where(valid0[:, :, None], g0, cval)
+    g1 = jnp.where(valid1[:, :, None], g1, cval)
+    return g0 * (1.0 - frac) + g1 * frac
+
+
+# -- Pallas row-shear kernel -------------------------------------------------
+
+@partial(jax.jit, static_argnames=("order", "cval", "pad"))
+def _shear_x_pallas_batch(
+    img: jnp.ndarray,  # [B, H, W, C] float32
+    shifts: jnp.ndarray,  # [B, H] fractional pixel shifts
+    order: int,
+    cval: float,
+    pad: int,
+) -> jnp.ndarray:
+    b, h, w, c = img.shape
+    padded = jnp.pad(
+        img,
+        ((0, 0), (0, 0), (pad, pad), (0, 0)),
+        constant_values=cval,
+    )
+    src = shifts + pad  # slice start into padded row, >= 0 by construction
+    if order == 0:
+        k = jnp.round(src).astype(jnp.int32)
+        frac = jnp.zeros_like(src)
+    else:
+        k = jnp.floor(src).astype(jnp.int32)
+        frac = src - k.astype(jnp.float32)
+    k = jnp.clip(k, 0, padded.shape[2] - w - 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, h, padded.shape[2], c),
+                lambda i, *_: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (1, h, w, c), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+
+    def kernel(shift_ref, frac_ref, in_ref, out_ref):
+        bidx = pl.program_id(0)
+
+        def body(y, _):
+            kk = shift_ref[bidx, y]
+            ff = frac_ref[bidx, y]
+            row0 = in_ref[0, y, pl.ds(kk, w), :]
+            row1 = in_ref[0, y, pl.ds(kk + 1, w), :]
+            out_ref[0, y, :, :] = row0 * (1.0 - ff) + row1 * ff
+            return 0
+
+        jax.lax.fori_loop(0, h, body, 0)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c), img.dtype),
+        grid_spec=grid_spec,
+    )(k, frac.astype(img.dtype), padded)
+
+
+def _shear_x_batch(
+    img: jnp.ndarray,  # [B, H, W, C]
+    shear: jnp.ndarray,  # [B]
+    order: int,
+    cval: float,
+    impl: str,
+) -> jnp.ndarray:
+    h = img.shape[1]
+    shifts = _row_shifts(shear, h)  # [B, H]
+    if impl == "pallas":
+        # Pad must cover the worst-case |shift|: shear_y uses b = sin(45deg)
+        # => |shift| <= 0.7071 * H/2 at the tile edge.
+        pad = int(np.ceil(h * 0.5 * 0.7072)) + 2
+        # Shifts beyond the pad would slice out of bounds; clamp (content
+        # that far out is fill).
+        shifts = jnp.clip(shifts, -pad + 1, pad - 1)
+        return _shear_x_pallas_batch(img, shifts, order, float(cval), pad)
+    return jax.vmap(lambda im, s: _shear_x_gather(im, s, order, cval))(
+        img, shifts
+    )
+
+
+def _shear_y_batch(img, shear, order, cval, impl):
+    out = _shear_x_batch(
+        jnp.swapaxes(img, 1, 2), shear, order, cval, impl
+    )
+    return jnp.swapaxes(out, 1, 2)
+
+
+# ---------------------------------------------------------------------------
+# Quarter-turn reduction + full rotation.
+# ---------------------------------------------------------------------------
+
+
+def _quarter_turns(img: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample rotate by k*90 degrees CCW (k in {0,1,2,3}); layout ops only."""
+    r0 = img
+    r1 = jnp.flip(jnp.swapaxes(img, 1, 2), axis=1)  # 90 CCW
+    r2 = jnp.flip(jnp.flip(img, axis=1), axis=2)  # 180
+    r3 = jnp.flip(jnp.swapaxes(img, 1, 2), axis=2)  # 270 CCW
+    stacked = jnp.stack([r0, r1, r2, r3])  # [4, B, H, W, C]
+    return jnp.take_along_axis(
+        stacked, k[None, :, None, None, None], axis=0
+    )[0]
+
+
+def rotate_batch(
+    img: jnp.ndarray,  # [B, H, W, C] (H == W required for quarter turns)
+    angles_deg: jnp.ndarray,  # [B] CCW degrees
+    order: int = 1,
+    cval: float = 0.0,
+    impl: str = "gather",
+) -> jnp.ndarray:
+    """Rotate each sample about its center by its own angle (3-shear)."""
+    if img.shape[1] != img.shape[2]:
+        raise ValueError(
+            "rotate_batch requires square tiles (quarter-turn reduction); "
+            f"got {img.shape}"
+        )
+    angles = jnp.asarray(angles_deg, jnp.float32) % 360.0
+    # Reduce to residual in (-45, 45]: angle = 90*k + r.
+    k = jnp.floor((angles + 45.0) / 90.0).astype(jnp.int32) % 4
+    residual = angles - 90.0 * jnp.floor((angles + 45.0) / 90.0)
+    theta = residual * (jnp.pi / 180.0)
+
+    out = _quarter_turns(img, k)
+    # 3-shear decomposition of the residual rotation (CCW about center).
+    a = -jnp.tan(theta / 2.0)
+    b = jnp.sin(theta)
+    out = _shear_x_batch(out, a, order, cval, impl)
+    out = _shear_y_batch(out, b, order, cval, impl)
+    out = _shear_x_batch(out, a, order, cval, impl)
+    return out

@@ -1,0 +1,105 @@
+"""3-shear rotation tests (ops/rotate.py) against the direct-bilinear
+map_coordinates oracle (data/augment.py:_rotate_one)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from floodplanet_code_tpu.data.augment import TransformParams, _rotate_one, augment_batch
+from floodplanet_code_tpu.ops.rotate import rotate_batch
+
+
+def oracle(img, angle_deg, order, cval=0.0):
+    return np.asarray(
+        _rotate_one(jnp.asarray(img), jnp.deg2rad(angle_deg), order, cval)
+    )
+
+
+class TestRotateBatch:
+    def test_identity(self, rng):
+        img = rng.random((2, 32, 32, 3)).astype(np.float32)
+        out = np.asarray(rotate_batch(jnp.asarray(img), jnp.zeros(2)))
+        np.testing.assert_allclose(out, img, atol=1e-5)
+
+    @pytest.mark.parametrize("angle", [90.0, 180.0, 270.0])
+    def test_quarter_turns_exact(self, rng, angle):
+        img = rng.random((1, 32, 32, 2)).astype(np.float32)
+        got = np.asarray(rotate_batch(jnp.asarray(img), jnp.asarray([angle])))
+        want = oracle(img[0], angle, 1)
+        np.testing.assert_allclose(got[0], want, atol=1e-4)
+
+    @pytest.mark.parametrize("angle", [17.0, 44.0, 133.0, 251.0, 340.0])
+    def test_smooth_image_close_to_bilinear(self, angle):
+        h = 48
+        yy, xx = np.mgrid[0:h, 0:h] / h
+        img = (np.sin(6 * yy) + np.cos(5 * xx) + yy * xx).astype(np.float32)
+        img = img[None, :, :, None]
+        got = np.asarray(rotate_batch(jnp.asarray(img), jnp.asarray([angle])))
+        want = oracle(img[0], angle, 1)
+        diff = np.abs(got[0] - want)[8:-8, 8:-8]
+        assert diff.mean() < 2e-3
+        assert diff.max() < 2e-2
+
+    def test_coherent_label_nearest_agreement(self):
+        h = 64
+        yy, xx = np.mgrid[0:h, 0:h]
+        lbl = (((yy - 40) ** 2 + (xx - 25) ** 2) < 150).astype(np.float32)
+        lbl = lbl[None, :, :, None]
+        for angle in (33.0, 129.0, 250.0):
+            got = np.asarray(
+                rotate_batch(jnp.asarray(lbl), jnp.asarray([angle]), order=0)
+            )
+            want = oracle(lbl[0], angle, 0)
+            assert (got[0] == want).mean() > 0.98
+
+    def test_per_sample_angles(self, rng):
+        img = rng.random((3, 32, 32, 1)).astype(np.float32)
+        angles = jnp.asarray([0.0, 90.0, 180.0])
+        got = np.asarray(rotate_batch(jnp.asarray(img), angles))
+        np.testing.assert_allclose(got[0], img[0], atol=1e-5)
+        np.testing.assert_allclose(got[1], oracle(img[1], 90.0, 1), atol=1e-4)
+
+    def test_fill_value(self):
+        img = jnp.ones((1, 32, 32, 1))
+        got = np.asarray(
+            rotate_batch(img, jnp.asarray([45.0]), order=0, cval=7.0)
+        )
+        assert (got == 7.0).any()  # corners filled
+
+    def test_non_square_raises(self):
+        with pytest.raises(ValueError):
+            rotate_batch(jnp.ones((1, 32, 64, 1)), jnp.zeros(1))
+
+
+class TestAugmentWithShear:
+    def test_augment_uses_shear_and_preserves_labels(self, rng):
+        params = TransformParams(
+            False, 0, False, 0, True, 1.0, 10.0, 80.0, rotate_impl="shear"
+        )
+        image = jnp.asarray(rng.standard_normal((2, 32, 32, 2)).astype(np.float32))
+        target = jnp.asarray(rng.choice([0, 1, 2], (2, 32, 32)).astype(np.int32))
+        img, tgt = augment_batch(jax.random.key(0), image, target, params, 0)
+        assert set(np.unique(np.asarray(tgt))) <= {0, 1, 2}
+        assert img.shape == image.shape
+
+    def test_shear_matches_oracle_impl_statistically(self, rng):
+        # Same key => same sampled angles; outputs should be close.
+        image = jnp.asarray(rng.random((2, 48, 48, 1)).astype(np.float32))
+        # smooth it to avoid noise-resampling artifacts
+        image = jax.scipy.signal.convolve2d(
+            image[0, :, :, 0], jnp.ones((5, 5)) / 25, mode="same"
+        )[None, :, :, None]
+        image = jnp.concatenate([image, image])
+        target = jnp.zeros((2, 48, 48), jnp.int32)
+        p_shear = TransformParams(
+            False, 0, False, 0, True, 1.0, 20.0, 70.0, rotate_impl="shear"
+        )
+        p_oracle = TransformParams(
+            False, 0, False, 0, True, 1.0, 20.0, 70.0,
+            rotate_impl="map_coordinates",
+        )
+        a, _ = augment_batch(jax.random.key(3), image, target, p_shear, 0)
+        b, _ = augment_batch(jax.random.key(3), image, target, p_oracle, 0)
+        diff = np.abs(np.asarray(a) - np.asarray(b))[:, 8:-8, 8:-8]
+        assert diff.mean() < 5e-3
