@@ -95,7 +95,12 @@ class FloodPlanetDataset:
         self.slice_params = slice_params
         self.eval_region = eval_region
         self.transforms = transforms
-        self.sensor = sensor
+        # Multi-sensor fusion: "PS+S1" stacks the band sets of several
+        # sensors channel-wise per scene (heterogeneous per-sensor
+        # radiometric normalization; an extension over the reference, which
+        # is strictly single-sensor — BASELINE.json configs[2]).
+        self.sensors = [s.strip() for s in sensor.split("+") if s.strip()]
+        self.sensor = self.sensors[0]
         self.channels = channels or "ALL"
         self.dset_name = dset_name
         self.seed_num = seed_num
@@ -137,6 +142,30 @@ class FloodPlanetDataset:
             pre_post_difference=pre_post_difference,
             hand=hand,
         )
+        if len(self.sensors) > 1:
+            # Stacked-channel fusion: ms_image carries every sensor's bands.
+            self.n_channels["ms_image"] = sum(
+                sensor_lib.sensor_n_channels(s, self.channels)
+                for s in self.sensors
+            )
+            if self.norm_mode == "global" and self.global_norm_params:
+                combined = {
+                    "mean": sum(
+                        (list(self.global_norm_params[s]["mean"]) for s in self.sensors),
+                        [],
+                    ),
+                    "std": sum(
+                        (list(self.global_norm_params[s]["std"]) for s in self.sensors),
+                        [],
+                    ),
+                }
+                self.global_norm_params = dict(self.global_norm_params)
+                self.global_norm_params["+".join(self.sensors)] = combined
+                self.sensor_key = "+".join(self.sensors)
+            else:
+                self.sensor_key = self.sensor
+        else:
+            self.sensor_key = self.sensor
 
     # -- discovery / splits -------------------------------------------------
 
@@ -150,14 +179,27 @@ class FloodPlanetDataset:
 
         self.dataset: List[Example] = []
         n_images = 0
+        n_skipped = 0
+        kept_paths = []
         for image_path, region_name in image_paths:
             image_name = os.path.splitext(os.path.basename(image_path))[0]
             region_dir = os.path.dirname(os.path.dirname(image_path))
             label_path = os.path.join(region_dir, "labels", image_name + ".tif")
             if not os.path.exists(label_path):
-                raise FileNotFoundError(
-                    f'Label not found for scene "{image_path}": {label_path}'
-                )
+                # Scenes without labels are skipped with a warning (the
+                # reference drops into pdb here, floodplanet.py:97-99).
+                n_skipped += 1
+                continue
+            if len(self.sensors) > 1:
+                # Multi-sensor fusion requires the same scene in every
+                # sensor's directory.
+                siblings = [
+                    os.path.join(region_dir, s, image_name + ".tif")
+                    for s in self.sensors[1:]
+                ]
+                if not all(os.path.exists(p) for p in siblings):
+                    n_skipped += 1
+                    continue
             label_info = tiff.info(label_path)
             label_height, label_width = label_info.height, label_info.width
 
@@ -195,7 +237,18 @@ class FloodPlanetDataset:
                     )
                 )
             n_images += 1
-        self.image_paths = image_paths
+            kept_paths.append((image_path, region_name))
+        if n_skipped:
+            print(
+                f"[dataset] warning: skipped {n_skipped} scenes with missing "
+                f"labels ({self.split} split)"
+            )
+        if not self.dataset:
+            raise ValueError(
+                f"No labeled scenes for split '{self.split}' "
+                f"(sensor {self.sensor}, root {self.root_dir})"
+            )
+        self.image_paths = kept_paths
 
     def _split_data(self, region_dirs: dict) -> List[tuple]:
         if not region_dirs:
@@ -274,13 +327,16 @@ class FloodPlanetDataset:
     def __len__(self) -> int:
         return len(self.dataset)
 
-    def _load_scene_resized(self, image_path: str, target_hw: tuple) -> np.ndarray:
+    def _load_scene_resized(
+        self, image_path: str, target_hw: tuple, sensor: str | None = None
+    ) -> np.ndarray:
         """Full scene, resized to label dims, range-normalized; LRU-cached.
 
         Only used when scene dims differ from label dims (e.g. S1 scenes are
         lower resolution than their labels). The cache fixes the reference's
         per-tile full re-read + Lanczos resize (floodplanet.py:605-609).
         """
+        sensor = sensor or self.sensor
         key = f"{image_path}@{target_hw[0]}x{target_hw[1]}@{self.channels}"
         with self._cache_lock:
             if key in self._scene_cache:
@@ -291,7 +347,7 @@ class FloodPlanetDataset:
             raw = raw[None]
         # Native reader always returns band-sequential CHW, so no HWC
         # heuristic is needed here (cf. reference floodplanet.py:320-324).
-        raw = sensor_lib.select_channels(raw, self.sensor, self.channels)
+        raw = sensor_lib.select_channels(raw, sensor, self.channels)
         # Lanczos resize to label dims, matching resize_image's default
         # (utils_image.py:11-54); cv2 wants HWC.
         th, tw = target_hw
@@ -300,17 +356,22 @@ class FloodPlanetDataset:
         if resized.ndim == 2:
             resized = resized[:, :, None]
         chw = np.ascontiguousarray(np.transpose(resized, (2, 0, 1)))
-        chw = sensor_lib.normalize_sensor_range(chw, self.sensor)
+        chw = sensor_lib.normalize_sensor_range(chw, sensor)
         with self._cache_lock:
             self._scene_cache[key] = chw
             while len(self._scene_cache) > self._scene_cache_size:
                 self._scene_cache.popitem(last=False)
         return chw
 
-    def _load_crop_norm_image(
-        self, image_path: str, crop_params: CropParams
+    def _sibling_sensor_path(self, image_path: str, sensor: str) -> str:
+        """Path of the same scene under another sensor's directory."""
+        region_dir = os.path.dirname(os.path.dirname(image_path))
+        return os.path.join(region_dir, sensor, os.path.basename(image_path))
+
+    def _load_crop_norm_single(
+        self, image_path: str, crop_params: CropParams, sensor: str
     ) -> np.ndarray:
-        """Range-normalized CHW crop of a scene at label resolution."""
+        """Range-normalized CHW crop of one sensor's scene at label resolution."""
         nfo = tiff.info(image_path)
         scene_h, scene_w = nfo.height, nfo.width
         want_h, want_w = crop_params.og_height, crop_params.og_width
@@ -325,10 +386,28 @@ class FloodPlanetDataset:
             )
             if window.ndim == 2:
                 window = window[None]
-            window = sensor_lib.select_channels(window, self.sensor, self.channels)
-            return sensor_lib.normalize_sensor_range(window, self.sensor)
-        scene = self._load_scene_resized(image_path, (want_h, want_w))
+            window = sensor_lib.select_channels(window, sensor, self.channels)
+            return sensor_lib.normalize_sensor_range(window, sensor)
+        scene = self._load_scene_resized(image_path, (want_h, want_w), sensor)
         return scene[:, crop_params.h0 : crop_params.hE, crop_params.w0 : crop_params.wE]
+
+    def _load_crop_norm_image(
+        self, image_path: str, crop_params: CropParams
+    ) -> np.ndarray:
+        """CHW crop; multi-sensor configs stack every sensor's bands
+        (each with its own radiometric normalization)."""
+        parts = [
+            self._load_crop_norm_single(
+                image_path if s == self.sensors[0]
+                else self._sibling_sensor_path(image_path, s),
+                crop_params,
+                s,
+            )
+            for s in self.sensors
+        ]
+        if len(parts) == 1:
+            return parts[0]
+        return np.concatenate(parts, axis=0)
 
     def _load_label_image(
         self, label_path: str, crop_params: CropParams
@@ -376,7 +455,7 @@ class FloodPlanetDataset:
             image,
             self.norm_mode,
             global_params=self.global_norm_params,
-            input_type=self.sensor,
+            input_type=self.sensor_key,
         )
 
         image = pad_to_shape(
@@ -417,11 +496,15 @@ class FloodPlanetDataset:
             output_metadata = self.output_metadata
         fast: list[int] = []
         results: dict[int, dict] = {}
+        multi_sensor = len(self.sensors) > 1
         for pos, index in enumerate(indices):
             example = self.dataset[index]
             nfo = tiff.info(example.image_path)
             cp = example.crop_params
-            if (nfo.height, nfo.width) == (cp.og_height, cp.og_width):
+            if not multi_sensor and (nfo.height, nfo.width) == (
+                cp.og_height,
+                cp.og_width,
+            ):
                 fast.append(pos)
             else:
                 results[pos] = self.load_example(index, output_metadata)
@@ -452,7 +535,7 @@ class FloodPlanetDataset:
                     image,
                     self.norm_mode,
                     global_params=self.global_norm_params,
-                    input_type=self.sensor,
+                    input_type=self.sensor_key,
                 )
                 image = pad_to_shape(
                     image, cp.max_crop_height, cp.max_crop_width
@@ -485,7 +568,10 @@ class FloodPlanetDataset:
         return self.load_example(index, output_metadata)
 
     def to_RGB(self, image: np.ndarray, gamma: float | None = None) -> np.ndarray:
-        """CHW multi-band -> HW3 RGB (reference base_dataset.py:467-492)."""
+        """CHW multi-band -> HW3 RGB (reference base_dataset.py:467-492).
+
+        Multi-sensor stacks visualize through the primary sensor's band
+        mapping (its channels come first in the stack)."""
         return sensor_lib.to_rgb(image, self.sensor, self.channels, gamma=gamma)
 
 

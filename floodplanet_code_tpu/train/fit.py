@@ -38,7 +38,11 @@ from floodplanet_code_tpu.data import (
 )
 from floodplanet_code_tpu.data.augment import TransformParams, augment_batch
 from floodplanet_code_tpu.models import build_model
-from floodplanet_code_tpu.ops.losses import cross_entropy_ignore
+from floodplanet_code_tpu.ops.losses import (
+    cross_entropy_ignore,
+    dice_loss,
+    weighted_cross_entropy,
+)
 from floodplanet_code_tpu.ops.metrics import (
     compute_binary_class_metrics,
     compute_metrics,
@@ -61,12 +65,60 @@ def resolve_ignore_index(ignore_index: int, n_classes: int) -> int:
     return ignore_index
 
 
-def make_train_step(model, ignore_index: int, transform_params: TransformParams):
-    """Build the jitted train step: augment -> forward -> CE -> adam update.
+def make_loss_fn(loss_cfg, ignore_index: int):
+    """Loss factory: ce | weighted_ce | ce_dice (conf key ``loss``).
+
+    The reference supports plain CE only (water_seg_model.py:40); the
+    weighted/Dice recipes cover BASELINE.json configs[3].
+    """
+    name = "ce"
+    class_weights = None
+    dice_weight = 0.5
+    if loss_cfg is not None:
+        name = loss_cfg.get("name", "ce") if hasattr(loss_cfg, "get") else "ce"
+        class_weights = loss_cfg.get("class_weights")
+        dice_weight = float(loss_cfg.get("dice_weight", 0.5) or 0.5)
+    if name == "ce":
+        return lambda logits, target: cross_entropy_ignore(
+            logits, target, ignore_index
+        )
+    if name == "weighted_ce":
+        if class_weights is None:
+            raise ValueError("loss.name=weighted_ce requires loss.class_weights")
+        weights = jnp.asarray([float(w) for w in class_weights], jnp.float32)
+        return lambda logits, target: weighted_cross_entropy(
+            logits, target, weights, ignore_index
+        )
+    if name == "ce_dice":
+        weights = (
+            jnp.asarray([float(w) for w in class_weights], jnp.float32)
+            if class_weights is not None
+            else None
+        )
+
+        def ce_dice(logits, target):
+            if weights is not None:
+                ce = weighted_cross_entropy(logits, target, weights, ignore_index)
+            else:
+                ce = cross_entropy_ignore(logits, target, ignore_index)
+            return ce + dice_weight * dice_loss(logits, target, ignore_index)
+
+        return ce_dice
+    raise NotImplementedError(f'No implementation for loss "{name}"')
+
+
+def make_train_step(
+    model,
+    ignore_index: int,
+    transform_params: TransformParams,
+    loss_cfg=None,
+):
+    """Build the jitted train step: augment -> forward -> loss -> adam update.
 
     Returns (state, rng) -> (state', logs) where logs carries the scalar
     loss and the batch confusion matrix (additive across steps).
     """
+    loss_of = make_loss_fn(loss_cfg, ignore_index)
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: dict, rng: jax.Array):
@@ -90,7 +142,7 @@ def make_train_step(model, ignore_index: int, transform_params: TransformParams)
             logits, updates = model.apply(
                 variables, model_batch, train=True, mutable=mutable
             )
-            loss = cross_entropy_ignore(logits, target, ignore_index)
+            loss = loss_of(logits, target)
             return loss, (logits, updates)
 
         (loss, (logits, updates)), grads = jax.value_and_grad(
@@ -225,7 +277,9 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
         print(f"[fit] resumed from {manager.latest_model_path} (epoch {start_epoch})")
 
     transform_params = TransformParams.from_config(cfg.transforms)
-    train_step = make_train_step(model, ignore_index, transform_params)
+    train_step = make_train_step(
+        model, ignore_index, transform_params, loss_cfg=cfg.select("loss")
+    )
     eval_step = make_eval_step(model, ignore_index)
 
     from tensorboardX import SummaryWriter
@@ -254,11 +308,16 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
     for epoch in range(start_epoch, cfg.n_epochs):
         # ---- train -------------------------------------------------------
         epoch_start = time.time()
+        tracing = False
         if profiler_mode == "advanced" and epoch == start_epoch:
             profile_dir = cfg.select("tpu.profile_dir") or os.path.join(
                 exp_dir, "profile"
             )
-            jax.profiler.start_trace(profile_dir)
+            try:
+                jax.profiler.start_trace(profile_dir)
+                tracing = True
+            except Exception as exc:  # remote backends may lack profiling
+                print(f"[profiler] trace unavailable: {exc}")
 
         train_confusion = jnp.zeros((n_classes, n_classes), jnp.float32)
         n_train_batches = 0
@@ -301,8 +360,11 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
                     global_step,
                 )
 
-        if profiler_mode == "advanced" and epoch == start_epoch:
-            jax.profiler.stop_trace()
+        if tracing:
+            try:
+                jax.profiler.stop_trace()
+            except Exception as exc:
+                print(f"[profiler] stop_trace failed: {exc}")
 
         train_time = time.time() - epoch_start
         train_metrics = compute_metrics(train_confusion, "train_", ignore_index)
