@@ -126,9 +126,10 @@ class BatchLoader:
 def device_prefetch(iterator, sharding=None, size: int = 2):
     """Move batches to device ahead of consumption (double buffering).
 
-    ``sharding`` is a jax.sharding.Sharding for array leaves (typically
-    NamedSharding(mesh, P('data'))); python-object leaves (metadata) pass
-    through untouched.
+    ``sharding`` is either one jax.sharding.Sharding applied to every array
+    leaf, or a dict of key -> Sharding (see
+    parallel.mesh.batch_shardings_for, used for 2-D data x space meshes);
+    python-object leaves (metadata) pass through untouched.
     """
     import jax
 
@@ -136,9 +137,10 @@ def device_prefetch(iterator, sharding=None, size: int = 2):
         out = {}
         for key, value in batch.items():
             if isinstance(value, np.ndarray):
+                s = sharding.get(key) if isinstance(sharding, dict) else sharding
                 out[key] = (
-                    jax.device_put(value, sharding)
-                    if sharding is not None
+                    jax.device_put(value, s)
+                    if s is not None
                     else jax.device_put(value)
                 )
             else:

@@ -51,7 +51,9 @@ from floodplanet_code_tpu.ops.metrics import (
 )
 from floodplanet_code_tpu.parallel.mesh import (
     batch_sharding,
+    batch_shardings_for,
     make_mesh,
+    make_mesh_2d,
     replicate_state,
 )
 from floodplanet_code_tpu.train.checkpoint import MONITOR_KEY, CheckpointManager
@@ -218,15 +220,23 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
     n_classes = train_dataset.n_classes
     ignore_index = resolve_ignore_index(cfg.ignore_index, n_classes)
 
-    mesh = make_mesh(cfg.select("tpu.n_devices"))
-    data_sharding = batch_sharding(mesh)
-    n_devices = len(mesh.devices.ravel())
+    spatial = int(cfg.select("tpu.spatial_shards", 1) or 1)
+    if spatial > 1:
+        import jax as _jax
+
+        total = cfg.select("tpu.n_devices") or len(_jax.devices())
+        mesh = make_mesh_2d(total // spatial, spatial)
+    else:
+        mesh = make_mesh(cfg.select("tpu.n_devices"))
+    data_sharding = batch_shardings_for(mesh)
+    n_data = mesh.shape[mesh.axis_names[0]]
+    n_devices = n_data  # batch divisibility is per data-axis shard
     batch_size = cfg.batch_size
     if batch_size % n_devices != 0:
         batch_size = max(n_devices, (batch_size // n_devices) * n_devices)
         print(
             f"[fit] batch_size {cfg.batch_size} not divisible by {n_devices} "
-            f"devices; using {batch_size}"
+            f"data shards; using {batch_size}"
         )
 
     train_loader = BatchLoader(
