@@ -91,54 +91,90 @@ def _shear_x_pallas_batch(
     cval: float,
     pad: int,
 ) -> jnp.ndarray:
+    """Pallas ShearX: per-row dynamic VMEM slices on the sublane dimension.
+
+    Layout stays [B, H, Wpad, C]: the sheared axis (W) is the sublane
+    (second-to-minor) dimension — Mosaic supports dynamic-offset slices
+    there (it rejects them on the lane dimension). Each row resample is two
+    shifted slices and a blend — no gather.
+    """
     b, h, w, c = img.shape
     padded = jnp.pad(
-        img,
-        ((0, 0), (0, 0), (pad, pad), (0, 0)),
-        constant_values=cval,
+        img, ((0, 0), (0, 0), (pad, pad), (0, 0)), constant_values=cval
     )
-    src = shifts + pad  # slice start into padded row, >= 0 by construction
+    wpad = padded.shape[2]
+    src = shifts + pad  # slice start into the padded row, >= 0
     if order == 0:
         k = jnp.round(src).astype(jnp.int32)
         frac = jnp.zeros_like(src)
     else:
         k = jnp.floor(src).astype(jnp.int32)
         frac = src - k.astype(jnp.float32)
-    k = jnp.clip(k, 0, padded.shape[2] - w - 1)
+    k = jnp.clip(k, 0, wpad - w - 1)
+
+    # Row- and column-chunked 3-D grid: every dynamic slice is at most
+    # W_BLK sublanes and every VMEM block stays small — large tiles
+    # otherwise push the Mosaic compile helper over its resource limits.
+    # The input row-block spans the full padded width and is indexed by
+    # (batch, row-block) only, so consecutive column steps reuse it.
+    w_blk = min(w, 128)
+    n_wblk = -(-w // w_blk)
+    w_round = n_wblk * w_blk
+    if w_round != w:
+        padded = jnp.pad(
+            padded, ((0, 0), (0, 0), (0, w_round - w), (0, 0)),
+            constant_values=cval,
+        )
+        wpad = padded.shape[2]
+    h_blk = h
+    while h_blk * wpad * c * img.dtype.itemsize > 300 * 1024:
+        h_blk //= 2
+    h_blk = max(h_blk, 1)
+    n_hblk = h // h_blk
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b,),
+        grid=(b, n_hblk, n_wblk),
         in_specs=[
             pl.BlockSpec(
-                (1, h, padded.shape[2], c),
-                lambda i, *_: (i, 0, 0, 0),
+                (1, h_blk, wpad, c),
+                lambda i, j, l, *_: (i, j, 0, 0),
                 memory_space=pltpu.VMEM,
             )
         ],
         out_specs=pl.BlockSpec(
-            (1, h, w, c), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            (1, h_blk, w_blk, c),
+            lambda i, j, l, *_: (i, j, l, 0),
+            memory_space=pltpu.VMEM,
         ),
     )
 
+    # Scalar-prefetch args ride in SMEM as int32; the fractional weight is
+    # fixed-point (x / 2^16).
+    frac_q = jnp.round(frac * 65536.0).astype(jnp.int32)
+
     def kernel(shift_ref, frac_ref, in_ref, out_ref):
         bidx = pl.program_id(0)
+        jblk = pl.program_id(1)
+        lblk = pl.program_id(2)
 
-        def body(y, _):
-            kk = shift_ref[bidx, y]
-            ff = frac_ref[bidx, y]
-            row0 = in_ref[0, y, pl.ds(kk, w), :]
-            row1 = in_ref[0, y, pl.ds(kk + 1, w), :]
-            out_ref[0, y, :, :] = row0 * (1.0 - ff) + row1 * ff
+        def body(yy, _):
+            y = jblk * h_blk + yy
+            kk = lblk * w_blk + shift_ref[bidx, y]
+            ff = frac_ref[bidx, y].astype(jnp.float32) * (1.0 / 65536.0)
+            row0 = in_ref[0, yy, pl.ds(kk, w_blk), :]
+            row1 = in_ref[0, yy, pl.ds(kk + 1, w_blk), :]
+            out_ref[0, yy, :, :] = row0 * (1.0 - ff) + row1 * ff
             return 0
 
-        jax.lax.fori_loop(0, h, body, 0)
+        jax.lax.fori_loop(0, h_blk, body, 0)
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, h, w, c), img.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, w_round, c), img.dtype),
         grid_spec=grid_spec,
-    )(k, frac.astype(img.dtype), padded)
+    )(k, frac_q, padded)
+    return out[:, :, :w, :]
 
 
 def _shear_x_batch(
