@@ -38,11 +38,11 @@ class TransformParams:
     min_rot_angle: float = 0.0
     max_rot_angle: float = 360.0
     fill_ignore: bool = False
-    # Rotation backend: "shear" (3-shear decomposition, TPU-fast; see
-    # ops/rotate.py), "shear_pallas" (Pallas row-shear kernel), or
-    # "map_coordinates" (direct bilinear gather — slow on TPU, kept as the
-    # correctness oracle).
-    rotate_impl: str = "shear"
+    # Rotation backend: "auto" (Pallas row-shear kernel on TPU, gather-based
+    # 3-shear elsewhere), "shear" (gather 3-shear), "shear_pallas" (Pallas),
+    # or "map_coordinates" (direct bilinear gather — slow on TPU, kept as
+    # the correctness oracle).
+    rotate_impl: str = "auto"
 
     @classmethod
     def from_config(cls, transforms_cfg) -> "TransformParams":
@@ -146,6 +146,12 @@ def augment_batch(
     if params.rotate_active:
         angles_deg = angles * (180.0 / jnp.pi)
         rotate_impl = params.rotate_impl
+        if rotate_impl == "auto":
+            import jax as _jax
+
+            rotate_impl = (
+                "shear_pallas" if _jax.default_backend() == "tpu" else "shear"
+            )
         if image.shape[1] != image.shape[2]:
             # Quarter-turn reduction needs square tiles; non-square crops
             # fall back to the direct-bilinear path.
@@ -153,16 +159,33 @@ def augment_batch(
         if rotate_impl in ("shear", "shear_pallas"):
             from floodplanet_code_tpu.ops.rotate import rotate_batch
 
-            impl = "pallas" if params.rotate_impl == "shear_pallas" else "gather"
-            image = rotate_batch(image, angles_deg, order=1, cval=0.0, impl=impl)
-            tgt_f = rotate_batch(
-                target[..., None].astype(jnp.float32),
+            impl = "pallas" if rotate_impl == "shear_pallas" else "gather"
+            # Single pass over [image | label | validity]: the label channel
+            # resamples nearest-neighbor, the validity channel marks
+            # rotated-out regions for the label fill.
+            n_img = image.shape[-1]
+            combined = jnp.concatenate(
+                [
+                    image,
+                    target[..., None].astype(jnp.float32),
+                    jnp.ones(target.shape + (1,), jnp.float32),
+                ],
+                axis=-1,
+            )
+            rotated = rotate_batch(
+                combined,
                 angles_deg,
-                order=0,
-                cval=label_fill,
+                order=1,
+                cval=0.0,
                 impl=impl,
-            )[..., 0]
-            target = tgt_f.astype(target.dtype)
+                nearest_from=n_img,
+            )
+            image = rotated[..., :n_img]
+            inside = rotated[..., n_img + 1] > 0.5
+            tgt_f = jnp.where(
+                inside, rotated[..., n_img], jnp.float32(label_fill)
+            )
+            target = jnp.rint(tgt_f).astype(target.dtype)
         else:  # map_coordinates oracle path
 
             def rot(img, tgt, angle):

@@ -56,8 +56,13 @@ def _shear_x_gather(
     shifts: jnp.ndarray,  # [H] fractional shifts (in pixels)
     order: int,
     cval: float,
+    nearest_from: int | None = None,
 ) -> jnp.ndarray:
-    """ShearX via take_along_axis: out[y, x] = in[y, x + shift_y]."""
+    """ShearX via take_along_axis: out[y, x] = in[y, x + shift_y].
+
+    ``nearest_from``: channels >= this index resample nearest-neighbor
+    regardless of ``order`` (mixed image|label single-pass rotation).
+    """
     h, w, c = img.shape
     x = jnp.arange(w, dtype=jnp.float32)[None, :]  # [1, W]
     src = x + shifts[:, None]  # [H, W]
@@ -70,6 +75,9 @@ def _shear_x_gather(
         return jnp.where(valid[:, :, None], gathered, cval)
     idx0 = jnp.floor(src).astype(jnp.int32)
     frac = (src - idx0.astype(jnp.float32))[:, :, None]
+    if nearest_from is not None:
+        chan = jnp.arange(c)[None, None, :]
+        frac = jnp.where(chan >= nearest_from, jnp.round(frac), frac)
     valid0 = (idx0 >= 0) & (idx0 < w)
     valid1 = (idx0 + 1 >= 0) & (idx0 + 1 < w)
     g0 = jnp.take_along_axis(img, jnp.clip(idx0, 0, w - 1)[:, :, None], axis=1)
@@ -83,13 +91,14 @@ def _shear_x_gather(
 
 # -- Pallas row-shear kernel -------------------------------------------------
 
-@partial(jax.jit, static_argnames=("order", "cval", "pad"))
+@partial(jax.jit, static_argnames=("order", "cval", "pad", "nearest_from"))
 def _shear_x_pallas_batch(
     img: jnp.ndarray,  # [B, H, W, C] float32
     shifts: jnp.ndarray,  # [B, H] fractional pixel shifts
     order: int,
     cval: float,
     pad: int,
+    nearest_from: int | None = None,
 ) -> jnp.ndarray:
     """Pallas ShearX: per-row dynamic VMEM slices on the sublane dimension.
 
@@ -162,9 +171,16 @@ def _shear_x_pallas_batch(
             y = jblk * h_blk + yy
             kk = lblk * w_blk + shift_ref[bidx, y]
             ff = frac_ref[bidx, y].astype(jnp.float32) * (1.0 / 65536.0)
+            if nearest_from is None:
+                ffv = ff
+            else:
+                # Mixed interpolation: channels >= nearest_from use the
+                # rounded fraction (nearest-neighbor), the rest bilinear.
+                chan = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
+                ffv = jnp.where(chan >= nearest_from, jnp.round(ff), ff)
             row0 = in_ref[0, yy, pl.ds(kk, w_blk), :]
             row1 = in_ref[0, yy, pl.ds(kk + 1, w_blk), :]
-            out_ref[0, yy, :, :] = row0 * (1.0 - ff) + row1 * ff
+            out_ref[0, yy, :, :] = row0 * (1.0 - ffv) + row1 * ffv
             return 0
 
         jax.lax.fori_loop(0, h_blk, body, 0)
@@ -183,6 +199,7 @@ def _shear_x_batch(
     order: int,
     cval: float,
     impl: str,
+    nearest_from: int | None = None,
 ) -> jnp.ndarray:
     h = img.shape[1]
     shifts = _row_shifts(shear, h)  # [B, H]
@@ -193,15 +210,17 @@ def _shear_x_batch(
         # Shifts beyond the pad would slice out of bounds; clamp (content
         # that far out is fill).
         shifts = jnp.clip(shifts, -pad + 1, pad - 1)
-        return _shear_x_pallas_batch(img, shifts, order, float(cval), pad)
-    return jax.vmap(lambda im, s: _shear_x_gather(im, s, order, cval))(
-        img, shifts
-    )
+        return _shear_x_pallas_batch(
+            img, shifts, order, float(cval), pad, nearest_from
+        )
+    return jax.vmap(
+        lambda im, s: _shear_x_gather(im, s, order, cval, nearest_from)
+    )(img, shifts)
 
 
-def _shear_y_batch(img, shear, order, cval, impl):
+def _shear_y_batch(img, shear, order, cval, impl, nearest_from=None):
     out = _shear_x_batch(
-        jnp.swapaxes(img, 1, 2), shear, order, cval, impl
+        jnp.swapaxes(img, 1, 2), shear, order, cval, impl, nearest_from
     )
     return jnp.swapaxes(out, 1, 2)
 
@@ -212,15 +231,17 @@ def _shear_y_batch(img, shear, order, cval, impl):
 
 
 def _quarter_turns(img: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
-    """Per-sample rotate by k*90 degrees CCW (k in {0,1,2,3}); layout ops only."""
+    """Per-sample rotate by k*90 degrees CCW (k in {0,1,2,3}).
+
+    Uses lax.select_n (elementwise multiway select) rather than indexing a
+    stacked array — gathers are slow on TPU, selects are pure VPU.
+    """
     r0 = img
     r1 = jnp.flip(jnp.swapaxes(img, 1, 2), axis=1)  # 90 CCW
     r2 = jnp.flip(jnp.flip(img, axis=1), axis=2)  # 180
     r3 = jnp.flip(jnp.swapaxes(img, 1, 2), axis=2)  # 270 CCW
-    stacked = jnp.stack([r0, r1, r2, r3])  # [4, B, H, W, C]
-    return jnp.take_along_axis(
-        stacked, k[None, :, None, None, None], axis=0
-    )[0]
+    k_b = k[:, None, None, None]
+    return jax.lax.select_n(jnp.broadcast_to(k_b, img.shape), r0, r1, r2, r3)
 
 
 def rotate_batch(
@@ -229,8 +250,13 @@ def rotate_batch(
     order: int = 1,
     cval: float = 0.0,
     impl: str = "gather",
+    nearest_from: int | None = None,
 ) -> jnp.ndarray:
-    """Rotate each sample about its center by its own angle (3-shear)."""
+    """Rotate each sample about its center by its own angle (3-shear).
+
+    ``nearest_from``: channels >= this index use nearest-neighbor
+    resampling (single-pass mixed image|label rotation).
+    """
     if img.shape[1] != img.shape[2]:
         raise ValueError(
             "rotate_batch requires square tiles (quarter-turn reduction); "
@@ -246,7 +272,7 @@ def rotate_batch(
     # 3-shear decomposition of the residual rotation (CCW about center).
     a = -jnp.tan(theta / 2.0)
     b = jnp.sin(theta)
-    out = _shear_x_batch(out, a, order, cval, impl)
-    out = _shear_y_batch(out, b, order, cval, impl)
-    out = _shear_x_batch(out, a, order, cval, impl)
+    out = _shear_x_batch(out, a, order, cval, impl, nearest_from)
+    out = _shear_y_batch(out, b, order, cval, impl, nearest_from)
+    out = _shear_x_batch(out, a, order, cval, impl, nearest_from)
     return out

@@ -109,13 +109,41 @@ def make_loss_fn(loss_cfg, ignore_index: int):
     raise NotImplementedError(f'No implementation for loss "{name}"')
 
 
+def make_augment_step(transform_params: TransformParams, ignore_index: int):
+    """Jitted standalone augmentation: (rng, batch) -> batch.
+
+    Kept as its own XLA program rather than fused into the train step:
+    measured on v5e, fusing the rotation into the training graph degrades
+    the combined program by ~2x the rotation's standalone cost (layout /
+    scheduling interaction), while two dispatches are nearly free.
+    """
+    if not transform_params.any_active:
+        return None
+
+    @jax.jit
+    def augment_step(rng: jax.Array, batch: dict):
+        image, target = augment_batch(
+            rng, batch["image"], batch["target"], transform_params, ignore_index
+        )
+        out = dict(batch)
+        out["image"] = image
+        out["target"] = target
+        return out
+
+    return augment_step
+
+
 def make_train_step(
     model,
     ignore_index: int,
     transform_params: TransformParams,
     loss_cfg=None,
+    fuse_augmentation: bool = True,
 ):
-    """Build the jitted train step: augment -> forward -> loss -> adam update.
+    """Build the jitted train step: [augment ->] forward -> loss -> update.
+
+    ``fuse_augmentation=False`` leaves augmentation to a separate
+    make_augment_step program (the fast path on TPU; see its docstring).
 
     Returns (state, rng) -> (state', logs) where logs carries the scalar
     loss and the batch confusion matrix (additive across steps).
@@ -125,7 +153,7 @@ def make_train_step(
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: dict, rng: jax.Array):
         image, target = batch["image"], batch["target"]
-        if transform_params.any_active:
+        if fuse_augmentation and transform_params.any_active:
             image, target = augment_batch(
                 rng, image, target, transform_params, ignore_index
             )
@@ -288,8 +316,13 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
 
     transform_params = TransformParams.from_config(cfg.transforms)
     train_step = make_train_step(
-        model, ignore_index, transform_params, loss_cfg=cfg.select("loss")
+        model,
+        ignore_index,
+        transform_params,
+        loss_cfg=cfg.select("loss"),
+        fuse_augmentation=False,
     )
+    augment_step = make_augment_step(transform_params, ignore_index)
     eval_step = make_eval_step(model, ignore_index)
 
     from tensorboardX import SummaryWriter
@@ -340,6 +373,11 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
             if limit_train is not None and n_train_batches >= limit_train:
                 break
             rng, step_rng = jax.random.split(rng)
+            if augment_step is not None:
+                rng, aug_rng = jax.random.split(rng)
+                batch = augment_step(aug_rng, {
+                    k: v for k, v in batch.items() if k != "metadata"
+                })
             state, logs = train_step(state, batch, step_rng)
             train_confusion = train_confusion + logs["confusion"]
             losses.append(logs["loss"])
