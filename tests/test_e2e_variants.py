@@ -1,0 +1,97 @@
+"""End-to-end variant coverage: late-fusion model, multi-sensor fusion,
+remaining sensor paths (S2/L8), weighted loss training."""
+
+import os
+
+import numpy as np
+import pytest
+
+from floodplanet_code_tpu.config import compose
+from floodplanet_code_tpu.data import FloodPlanetDataset, generate_image_slice_object
+from floodplanet_code_tpu.train.fit import fit_model
+from tests.conftest import make_synthetic_csdap
+
+BASE_OVERRIDES = [
+    "eval_region=RegionA",
+    "crop_height=32",
+    "crop_width=32",
+    "crop_stride=32",
+    "batch_size=8",
+    "n_epochs=1",
+    "n_workers=2",
+    "lr=1e-3",
+    "limit_train_batches=2",
+    "limit_val_batches=2",
+    "tpu.compute_dtype=float32",
+    "transforms.rotate.active=false",
+]
+
+
+@pytest.fixture(scope="module")
+def all_sensor_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("csdap_all")
+    return str(
+        make_synthetic_csdap(
+            str(root),
+            regions=("RegionA", "RegionB"),
+            sensors=("PS", "S1", "S2", "L8"),
+            scenes_per_region=2,
+            scene_hw=(64, 64),
+        )
+    )
+
+
+class TestSensorPaths:
+    @pytest.mark.parametrize("sensor,channels,n_ch", [
+        ("S2", "ALL", 10),
+        ("S2", "RGB_NIR", 4),
+        ("L8", "ALL", 7),
+    ])
+    def test_dataset_loads(self, all_sensor_root, sensor, channels, n_ch):
+        ds = FloodPlanetDataset(
+            all_sensor_root,
+            "train",
+            generate_image_slice_object(32, stride=32),
+            sensor=sensor,
+            channels=channels,
+            eval_region="RegionA",
+            ignore_index=0,
+        )
+        assert ds.n_channels["ms_image"] == n_ch
+        ex = ds.load_example(0)
+        assert ex["image"].shape == (32, 32, n_ch)
+        assert np.isfinite(ex["image"]).all()
+        assert 0.0 <= ex["image"].min() and ex["image"].max() <= 1.0
+
+
+@pytest.mark.slow
+class TestTrainingVariants:
+    def test_lf_model_fit(self, all_sensor_root, tmp_path):
+        cfg = compose(
+            overrides=BASE_OVERRIDES + ["model=lf_model", "dataset.sensor=S1"]
+        )
+        cfg.dataset["dataset_kwargs"] = {"root_dir": all_sensor_root}
+        best = fit_model(cfg, overwrite_exp_dir=str(tmp_path / "lf"))
+        assert best and os.path.exists(best)
+
+    def test_multisensor_fit(self, all_sensor_root, tmp_path):
+        cfg = compose(
+            overrides=BASE_OVERRIDES + ["dataset.sensor=PS+S1+L8"]
+        )
+        cfg.dataset["dataset_kwargs"] = {"root_dir": all_sensor_root}
+        best = fit_model(cfg, overwrite_exp_dir=str(tmp_path / "ms"))
+        assert best and os.path.exists(best)
+
+    def test_weighted_ce_dice_fit(self, all_sensor_root, tmp_path):
+        cfg = compose(
+            overrides=BASE_OVERRIDES
+            + [
+                "dataset.sensor=PS",
+                "loss.name=ce_dice",
+                "loss.class_weights=[0.5,1.5,0.0]",
+                "loss.dice_weight=0.3",
+            ]
+        )
+        cfg.dataset["dataset_kwargs"] = {"root_dir": all_sensor_root}
+        best = fit_model(cfg, overwrite_exp_dir=str(tmp_path / "wl"))
+        assert best and os.path.exists(best)
