@@ -100,6 +100,30 @@ def _shear_x_pallas_batch(
     pad: int,
     nearest_from: int | None = None,
 ) -> jnp.ndarray:
+    # One pallas_call per sample: XLA stages medium-sized custom-call
+    # operands into scoped VMEM and whole-batch padded arrays overflow the
+    # ~16MB budget at many tile sizes (observed Mosaic compile failures);
+    # per-sample operands stay comfortably inside it.
+    b = img.shape[0]
+    if b > 1:
+        outs = [
+            _shear_x_pallas_single(
+                img[i : i + 1], shifts[i : i + 1], order, cval, pad, nearest_from
+            )
+            for i in range(b)
+        ]
+        return jnp.concatenate(outs, axis=0)
+    return _shear_x_pallas_single(img, shifts, order, cval, pad, nearest_from)
+
+
+def _shear_x_pallas_single(
+    img: jnp.ndarray,
+    shifts: jnp.ndarray,
+    order: int,
+    cval: float,
+    pad: int,
+    nearest_from: int | None = None,
+) -> jnp.ndarray:
     """Pallas ShearX: per-row dynamic VMEM slices on the sublane dimension.
 
     Layout stays [B, H, Wpad, C]: the sheared axis (W) is the sublane
@@ -135,8 +159,11 @@ def _shear_x_pallas_batch(
             constant_values=cval,
         )
         wpad = padded.shape[2]
+    # Keep per-call VMEM small: XLA may schedule the per-sample kernel
+    # calls concurrently, and their double-buffered block scratch SUMS in
+    # scoped vmem (observed 18MB > 16MB failures with larger blocks).
     h_blk = h
-    while h_blk * wpad * c * img.dtype.itemsize > 300 * 1024:
+    while h_blk * wpad * c * img.dtype.itemsize > 96 * 1024:
         h_blk //= 2
     h_blk = max(h_blk, 1)
     n_hblk = h // h_blk
@@ -205,8 +232,10 @@ def _shear_x_batch(
     shifts = _row_shifts(shear, h)  # [B, H]
     if impl == "pallas":
         # Pad must cover the worst-case |shift|: shear_y uses b = sin(45deg)
-        # => |shift| <= 0.7071 * H/2 at the tile edge.
+        # => |shift| <= 0.7071 * H/2 at the tile edge. Rounded so the padded
+        # width is a sublane multiple.
         pad = int(np.ceil(h * 0.5 * 0.7072)) + 2
+        pad = ((pad + 3) // 4) * 4  # wpad = w + 2*pad stays 8-aligned
         # Shifts beyond the pad would slice out of bounds; clamp (content
         # that far out is fill).
         shifts = jnp.clip(shifts, -pad + 1, pad - 1)
