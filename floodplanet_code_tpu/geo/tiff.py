@@ -190,6 +190,13 @@ class TiffFile:
         self.close()
 
     def __del__(self) -> None:
+        import sys
+
+        if sys.is_finalizing():
+            # Interpreter shutdown: the ctypes library may already be
+            # unloaded; calling into it can crash at exit. Leak the handle
+            # (the OS reclaims the fd).
+            return
         try:
             self.close()
         except Exception:
