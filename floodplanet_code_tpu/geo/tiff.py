@@ -22,6 +22,7 @@ import ctypes
 import os
 import struct
 import subprocess
+import sys
 import threading
 from dataclasses import dataclass
 
@@ -190,9 +191,7 @@ class TiffFile:
         self.close()
 
     def __del__(self) -> None:
-        import sys
-
-        if sys.is_finalizing():
+        if sys is None or sys.is_finalizing():
             # Interpreter shutdown: the ctypes library may already be
             # unloaded; calling into it can crash at exit. Leak the handle
             # (the OS reclaims the fd).
