@@ -100,19 +100,13 @@ def _shear_x_pallas_batch(
     pad: int,
     nearest_from: int | None = None,
 ) -> jnp.ndarray:
-    # One pallas_call per sample: XLA stages medium-sized custom-call
-    # operands into scoped VMEM and whole-batch padded arrays overflow the
-    # ~16MB budget at many tile sizes (observed Mosaic compile failures);
-    # per-sample operands stay comfortably inside it.
-    b = img.shape[0]
-    if b > 1:
-        outs = [
-            _shear_x_pallas_single(
-                img[i : i + 1], shifts[i : i + 1], order, cval, pad, nearest_from
-            )
-            for i in range(b)
-        ]
-        return jnp.concatenate(outs, axis=0)
+    # One whole-batch pallas_call. The per-call VMEM block budget in
+    # _shear_x_pallas_single is deliberately small (96KB): larger blocks
+    # made XLA's scoped-vmem accounting overflow the 16MB budget at many
+    # tile sizes (opaque Mosaic compile failures through the remote
+    # compiler). With small blocks the whole-batch kernel compiles at every
+    # size tested (96..512 px, 3..6 channels) and outperforms per-sample
+    # calls by ~20% (batch rides the grid pipeline).
     return _shear_x_pallas_single(img, shifts, order, cval, pad, nearest_from)
 
 
