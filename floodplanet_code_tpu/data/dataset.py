@@ -79,7 +79,6 @@ class FloodPlanetDataset:
         slope: bool = False,
         preflood: bool = False,
         pre_post_difference: bool = False,
-        chirps: bool = False,
         hand: bool = False,
         ignore_index: int = -1,
         train_split_pct: float = 0.8,
@@ -110,7 +109,6 @@ class FloodPlanetDataset:
         self.slope = slope
         self.preflood = preflood
         self.pre_post_difference = pre_post_difference
-        self.chirps = chirps
         self.hand = hand
         self.ignore_index = ignore_index
         self.train_split_pct = train_split_pct

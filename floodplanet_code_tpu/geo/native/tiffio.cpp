@@ -107,7 +107,11 @@ struct Reader {
   bool parse_tag_values(TiffTag &t, const uint8_t *entry) {
     size_t esz = type_size(t.type);
     if (esz == 0) return true;  // unknown type: skip values, keep header
-    size_t total = esz * t.count;
+    // Guard against corrupt tag counts (up to 4G entries * 8 bytes would
+    // otherwise trigger a multi-GB allocation / bad_alloc).
+    const size_t kMaxTagBytes = size_t(64) << 20;  // 64 MB
+    size_t total = esz * (size_t)t.count;
+    if (total > kMaxTagBytes) return false;
     std::vector<uint8_t> buf(total);
     if (total <= 4) {
       memcpy(buf.data(), entry + 8, total);
@@ -201,22 +205,25 @@ struct Reader {
         return false;
       }
       const auto &v = t.values;
+      // Malformed zero-count tags must not abort the process (.at(0) would
+      // throw through the extern "C" boundary); treat them as absent.
+      uint32_t v0 = v.empty() ? 0 : (uint32_t)v[0];
       switch (t.tag) {
-        case 256: width = (uint32_t)v.at(0); break;
-        case 257: height = (uint32_t)v.at(0); break;
-        case 258: bits = (uint32_t)v.at(0); break;
-        case 259: compression = (uint32_t)v.at(0); break;
+        case 256: width = v0; break;
+        case 257: height = v0; break;
+        case 258: if (!v.empty()) bits = v0; break;
+        case 259: if (!v.empty()) compression = v0; break;
         case 273: strip_offsets = v; break;
-        case 277: samples = (uint32_t)v.at(0); break;
-        case 278: rows_per_strip = (uint32_t)v.at(0); break;
+        case 277: if (!v.empty()) samples = v0; break;
+        case 278: if (!v.empty()) rows_per_strip = v0; break;
         case 279: strip_counts = v; break;
-        case 284: planar = (uint32_t)v.at(0); break;
-        case 317: predictor = (uint32_t)v.at(0); break;
-        case 322: tile_width = (uint32_t)v.at(0); break;
-        case 323: tile_height = (uint32_t)v.at(0); break;
+        case 284: if (!v.empty()) planar = v0; break;
+        case 317: if (!v.empty()) predictor = v0; break;
+        case 322: tile_width = v0; break;
+        case 323: tile_height = v0; break;
         case 324: tile_offsets = v; break;
         case 325: tile_counts = v; break;
-        case 339: sample_format = (uint32_t)v.at(0); break;
+        case 339: if (!v.empty()) sample_format = v0; break;
       }
       all_tags.push_back(std::move(t));
     }
@@ -583,12 +590,22 @@ extern "C" {
 const char *tiffio_error() { return g_error.c_str(); }
 
 void *tiffio_open(const char *path) {
-  Reader *r = new Reader();
-  if (!r->open(path)) {
-    delete r;
+  // No exception may escape the extern "C"/ctypes boundary: corrupt files
+  // must surface as error returns, never process aborts.
+  try {
+    Reader *r = new Reader();
+    if (!r->open(path)) {
+      delete r;
+      return nullptr;
+    }
+    return r;
+  } catch (const std::exception &e) {
+    set_error(std::string("tiffio_open failed: ") + e.what());
+    return nullptr;
+  } catch (...) {
+    set_error("tiffio_open failed: unknown error");
     return nullptr;
   }
-  return r;
 }
 
 void tiffio_close(void *handle) { delete (Reader *)handle; }
@@ -612,8 +629,16 @@ int tiffio_info(void *handle, int64_t *info) {
 
 int tiffio_read_window(void *handle, int64_t y0, int64_t x0, int64_t ny,
                        int64_t nx, void *dst) {
-  Reader *r = (Reader *)handle;
-  return r->read_window(y0, x0, ny, nx, (uint8_t *)dst) ? 0 : -1;
+  try {
+    Reader *r = (Reader *)handle;
+    return r->read_window(y0, x0, ny, nx, (uint8_t *)dst) ? 0 : -1;
+  } catch (const std::exception &e) {
+    set_error(std::string("tiffio_read_window failed: ") + e.what());
+    return -1;
+  } catch (...) {
+    set_error("tiffio_read_window failed: unknown error");
+    return -1;
+  }
 }
 
 // Serialize the geo-referencing tags (ModelPixelScale 33550, ModelTiepoint
@@ -683,8 +708,13 @@ extern "C" int64_t tiffio_read_windows_batch(void **handles,
       if (i >= n) break;
       Reader *r = (Reader *)handles[i];
       const int64_t *w = windows + 4 * i;
-      if (!r->read_window(w[0], w[1], w[2], w[3], (uint8_t *)dsts[i]))
-        failures.fetch_add(1);
+      bool ok = false;
+      try {
+        ok = r->read_window(w[0], w[1], w[2], w[3], (uint8_t *)dsts[i]);
+      } catch (...) {
+        ok = false;  // never let an exception escape a pool thread
+      }
+      if (!ok) failures.fetch_add(1);
     }
   };
   std::vector<std::thread> pool;

@@ -69,14 +69,22 @@ def infer(
     batch_size = max(cfg.batch_size, n_devices)
     batch_size -= batch_size % n_devices
 
+    from tqdm import tqdm
+
     written = []
-    for scene in sliding_window_predict(
-        model,
-        variables,
-        dataset,
-        batch_size=batch_size,
-        n_workers=n_workers or cfg.n_workers,
-        data_sharding=batch_sharding(mesh),
+    n_scenes = len({e.image_path for e in dataset.dataset})
+    for scene in tqdm(
+        sliding_window_predict(
+            model,
+            variables,
+            dataset,
+            batch_size=batch_size,
+            n_workers=n_workers or cfg.n_workers,
+            data_sharding=batch_sharding(mesh),
+        ),
+        total=n_scenes,
+        desc="infer scenes",
+        unit="scene",
     ):
         probs = scene["probabilities"]
         # argmax -> clip to binary water mask (reference infer.py:179-181).

@@ -98,7 +98,14 @@ def load_model_for_eval(cfg, checkpoint_path: str, dataset):
     )
     example = dataset.load_example(0, output_metadata=False)
     example_batch = {k: v[None] for k, v in example.items() if k != "metadata"}
-    state = create_train_state(model, example_batch, lr=cfg.lr)
+    # The restore template's opt_state pytree must match the checkpoint's, so
+    # the optimizer that trained it (adam/adamw/sgd) must be rebuilt here.
+    state = create_train_state(
+        model,
+        example_batch,
+        lr=cfg.lr,
+        optimizer_name=cfg.select("model.model_kwargs.optimizer_name", cfg.optimizer),
+    )
     state = load_checkpoint(checkpoint_path, state)
     variables = {"params": state.params}
     if state.batch_stats is not None:
@@ -167,14 +174,22 @@ def predict(
     image_stats_f1, region_stats_f1 = defaultdict(list), defaultdict(list)
     image_stats_iou, region_stats_iou = defaultdict(list), defaultdict(list)
 
-    for scene in sliding_window_predict(
-        model,
-        variables,
-        eval_dataset,
-        batch_size=batch_size,
-        n_workers=n_workers or cfg.n_workers,
-        data_sharding=data_sharding,
-        collect_extras=True,
+    from tqdm import tqdm
+
+    n_scenes = len({e.image_path for e in eval_dataset.dataset})
+    for scene in tqdm(
+        sliding_window_predict(
+            model,
+            variables,
+            eval_dataset,
+            batch_size=batch_size,
+            n_workers=n_workers or cfg.n_workers,
+            data_sharding=data_sharding,
+            collect_extras=True,
+        ),
+        total=n_scenes,
+        desc="predict scenes",
+        unit="scene",
     ):
         probs = scene["probabilities"]  # [H, W, n_classes]
         gt = np.rint(scene["gt"]).astype(np.int32)
@@ -253,7 +268,12 @@ def main(argv=None):
     )
     parser.add_argument("checkpoint_path", type=str)
     parser.add_argument("--eval_dataset_name", type=str, default=None)
-    parser.add_argument("--predict_images", default=True, action="store_true")
+    parser.add_argument(
+        "--predict_images",
+        default=True,
+        action=argparse.BooleanOptionalAction,
+        help="Write per-scene images (disable with --no-predict_images).",
+    )
     parser.add_argument("--eval_region", type=str, default=None)
     parser.add_argument("--eval_dataset_split", type=str, default="test")
     parser.add_argument("--n_workers", type=int, default=None)

@@ -210,28 +210,44 @@ class DeviceStitcher:
 
     The device-side analog of ImageStitcher: canvases stay on device across
     batches; ``combined()`` finalizes and pulls to host once per scene.
+
+    Big-raster safety: a scene whose canvas (+slack +weights) would exceed
+    ``max_canvas_bytes`` of HBM is accumulated on host instead (numpy
+    scatter-add per batch) — "deploy over a time series" (Batch_infer.sh)
+    is exactly where 10k+ px rasters appear, and a 10k x 10k x C f32 canvas
+    plus weights does not belong on one logical device.
     """
 
-    def __init__(self, n_channels: int):
+    def __init__(self, n_channels: int, max_canvas_bytes: int = 1 << 30):
         self.n_channels = n_channels
+        self.max_canvas_bytes = max_canvas_bytes
         self._canvas: dict[str, jnp.ndarray] = {}
         self._weights: dict[str, jnp.ndarray] = {}
+        self._host: dict[str, ImageStitcherLike] = {}
         self._og_shape: dict[str, tuple] = {}
-        self._slack: dict[str, tuple] = {}
         self.geo_sources: dict[str, str] = {}
+
+    def _canvas_bytes(self, pad_h: int, pad_w: int) -> int:
+        return pad_h * pad_w * (self.n_channels + 1) * 4
 
     def ensure_scene(
         self, name: str, og_height: int, og_width: int, tile_h: int, tile_w: int
     ):
-        if name not in self._canvas:
-            # One tile of slack so edge tiles (y0 + tile_h > H) scatter
-            # without dynamic_slice start-clamping; cropped at finalize.
-            pad_h, pad_w = og_height + tile_h, og_width + tile_w
+        if name in self._canvas or name in self._host:
+            return
+        # One tile of slack so edge tiles (y0 + tile_h > H) scatter
+        # without dynamic_slice start-clamping; cropped at finalize.
+        pad_h, pad_w = og_height + tile_h, og_width + tile_w
+        if self._canvas_bytes(pad_h, pad_w) > self.max_canvas_bytes:
+            self._host[name] = ImageStitcherLike(
+                og_height, og_width, self.n_channels
+            )
+        else:
             self._canvas[name] = jnp.zeros(
                 (pad_h, pad_w, self.n_channels), jnp.float32
             )
             self._weights[name] = jnp.zeros((pad_h, pad_w), jnp.float32)
-            self._og_shape[name] = (og_height, og_width)
+        self._og_shape[name] = (og_height, og_width)
 
     def add_batch(
         self,
@@ -248,6 +264,11 @@ class DeviceStitcher:
         )
         if geo_from is not None:
             self.geo_sources.setdefault(name, geo_from)
+        if name in self._host:
+            self._host[name].add_batch(
+                np.asarray(tiles), np.asarray(offsets), np.asarray(tile_valid)
+            )
+            return
         self._canvas[name], self._weights[name] = stitch_batch(
             self._canvas[name],
             self._weights[name],
@@ -257,16 +278,52 @@ class DeviceStitcher:
         )
 
     def scene_names(self):
-        return list(self._canvas.keys())
+        return list(self._canvas.keys()) + list(self._host.keys())
 
     def combined(self, name: str) -> np.ndarray:
+        h, w = self._og_shape[name]
+        if name in self._host:
+            return self._host[name].combined()
         full = np.asarray(
             finalize_canvas(self._canvas[name], self._weights[name])
         )
-        h, w = self._og_shape[name]
         return full[:h, :w]
 
     def pop_combined(self, name: str) -> np.ndarray:
         out = self.combined(name)
-        del self._canvas[name], self._weights[name], self._og_shape[name]
+        self._canvas.pop(name, None)
+        self._weights.pop(name, None)
+        self._host.pop(name, None)
+        del self._og_shape[name]
         return out
+
+
+class ImageStitcherLike:
+    """Host (numpy) accumulation canvas for scenes too large for HBM.
+
+    Same accumulate/divide semantics as stitch_batch/finalize_canvas;
+    edge tiles are cropped to the scene bounds instead of using slack.
+    """
+
+    def __init__(self, og_height: int, og_width: int, n_channels: int):
+        self.h, self.w = og_height, og_width
+        self.canvas = np.zeros((og_height, og_width, n_channels), np.float32)
+        self.weights = np.zeros((og_height, og_width), np.float32)
+
+    def add_batch(
+        self, tiles: np.ndarray, offsets: np.ndarray, tile_valid: np.ndarray
+    ) -> None:
+        for i in range(tiles.shape[0]):
+            y0, x0 = int(offsets[i, 0]), int(offsets[i, 1])
+            th = min(tiles.shape[1], self.h - y0)
+            tw = min(tiles.shape[2], self.w - x0)
+            if th <= 0 or tw <= 0:
+                continue
+            v = tile_valid[i, :th, :tw]
+            self.canvas[y0 : y0 + th, x0 : x0 + tw] += (
+                tiles[i, :th, :tw] * v[:, :, None]
+            )
+            self.weights[y0 : y0 + th, x0 : x0 + tw] += v
+
+    def combined(self) -> np.ndarray:
+        return np.nan_to_num(self.canvas / (self.weights[:, :, None] + 1e-5))

@@ -4,8 +4,7 @@ Architecture contract from the reference (st_water_seg/models/unet.py:6-201):
 DoubleConv (3x3 conv -> BN -> ReLU, twice), 4 maxpool downs to 1024//2
 channels (bilinear variant), 4 bilinear-upsample ups with pad-to-match skip
 concatenation, 1x1 output conv; plus the encoder/decoder split used by the
-late-fusion model (UNetEncoder/UNetDecoder with a channel_factor for fused
-skip widths).
+late-fusion model (UNetEncoder/UNetDecoder).
 
 TPU-first choices (not a port):
 - NHWC layout end-to-end: XLA's TPU conv emitter wants channels-last; this
@@ -148,12 +147,12 @@ class UNetEncoder(nn.Module):
 class UNetDecoder(nn.Module):
     """4 ups + 1x1 out conv (reference unet.py:162-201).
 
-    ``channel_factor`` widens the expected skip channels when the late-fusion
-    model concatenates multiple encoders' pyramids (unet.py:177-183).
+    The reference's ``channel_factor`` (unet.py:177-183, widened skip inputs
+    for late fusion) is unnecessary here: flax infers conv input widths, so
+    the same decoder handles fused pyramids of any channel count.
     """
 
     n_classes: int
-    channel_factor: int = 1
     base_feat_channels: int = 64
     dtype: Dtype = jnp.float32
     bn_axis_name: str | None = None

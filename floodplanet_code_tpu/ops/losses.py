@@ -40,6 +40,10 @@ def cross_entropy_ignore(
         )
     if ignore_index is not None:
         valid = valid * (target != ignore_index).astype(jnp.float32)
+    # Targets outside [0, n_classes) — e.g. the raw -1 nodata sentinel when
+    # the config's ignore_index=-1 was resolved to n_classes-1 downstream —
+    # are always ignored, never silently clipped into class 0.
+    valid = valid * ((target >= 0) & (target < n_classes)).astype(jnp.float32)
     safe_target = jnp.clip(target, 0, n_classes - 1)
     picked = jnp.take_along_axis(
         log_probs, safe_target[..., None], axis=-1
@@ -67,6 +71,7 @@ def weighted_cross_entropy(
         )
     if ignore_index is not None:
         valid = valid * (target != ignore_index).astype(jnp.float32)
+    valid = valid * ((target >= 0) & (target < n_classes)).astype(jnp.float32)
     safe_target = jnp.clip(target, 0, n_classes - 1)
     picked = jnp.take_along_axis(
         log_probs, safe_target[..., None], axis=-1
@@ -94,6 +99,7 @@ def dice_loss(
         )
     if ignore_index is not None:
         valid = valid * (target != ignore_index).astype(jnp.float32)
+    valid = valid * ((target >= 0) & (target < n_classes)).astype(jnp.float32)
     safe_target = jnp.clip(target, 0, n_classes - 1)
     onehot = jax.nn.one_hot(safe_target, n_classes) * valid[..., None]
     probs = probs * valid[..., None]

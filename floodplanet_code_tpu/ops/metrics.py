@@ -51,6 +51,9 @@ def confusion_from_preds(
     valid = valid.reshape(-1)
     if ignore_index is not None:
         valid = valid * (target != ignore_index).astype(jnp.float32)
+    # Targets outside [0, n_classes) (e.g. the raw -1 nodata sentinel) are
+    # always excluded, independent of ignore_index resolution.
+    valid = valid * ((target >= 0) & (target < n_classes)).astype(jnp.float32)
     # Clip to a safe range so one-hot encoding is in-bounds even for
     # sentinel targets (e.g. -1); those rows carry zero weight anyway.
     t = jnp.clip(target, 0, n_classes - 1)

@@ -39,6 +39,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# Interpret-mode switch for the Pallas kernel: lets CI run the exact kernel
+# body on CPU (tests/test_rotate.py) so kernel edits can't silently break
+# rotation between hardware runs.
+_INTERPRET = False
+
+
 # ---------------------------------------------------------------------------
 # Shear primitives.
 # ---------------------------------------------------------------------------
@@ -210,6 +216,7 @@ def _shear_x_pallas_single(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, h, w_round, c), img.dtype),
         grid_spec=grid_spec,
+        interpret=_INTERPRET,
     )(k, frac_q, padded)
     return out[:, :, :w, :]
 

@@ -23,6 +23,25 @@ import orbax.checkpoint as ocp
 MONITOR_KEY = "val_MulticlassJaccardIndex"
 
 
+def lookup_metric(metrics: dict, name: str, default=None):
+    """Read a metric tolerating old/new torchmetrics key names.
+
+    The reference accepts both ``test_F1Score`` and ``test_MulticlassF1Score``
+    when reading metric dicts (predict.py:245-250); foreign metrics.json files
+    may use either convention.
+    """
+    if name in metrics:
+        return metrics[name]
+    alt = name.replace("Multiclass", "")
+    if alt != name and alt in metrics:
+        return metrics[alt]
+    prefix, _, bare = name.rpartition("_")
+    alt = f"{prefix}_Multiclass{bare}" if prefix else f"Multiclass{bare}"
+    if alt in metrics:
+        return metrics[alt]
+    return default
+
+
 class CheckpointManager:
     """Top-k best + latest checkpoint retention under ``<exp>/checkpoints``."""
 
@@ -51,7 +70,7 @@ class CheckpointManager:
 
     def save(self, state: Any, epoch: int, metrics: dict) -> str:
         """Save a checkpoint; retain top-k by monitored metric + the latest."""
-        metric = float(metrics.get(self.monitor, 0.0))
+        metric = float(lookup_metric(metrics, self.monitor, 0.0))
         name = self._entry_name(epoch, metric)
         path = os.path.join(self.ckpt_dir, name)
         if os.path.exists(path):

@@ -296,7 +296,14 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
         **(cfg.model.get("model_kwargs") or {}),
     )
 
-    example_batch = next(iter(valid_loader))
+    # Build the init batch from one example rather than pulling a batch off
+    # a loader iterator (which would abandon a live prefetch thread pool).
+    example = valid_dataset.load_example(0)
+    example_batch = {
+        k: np.asarray(v)[None]
+        for k, v in example.items()
+        if k in ("image", "dem", "slope", "preflood", "pre_post_difference", "hand")
+    }
     state = create_train_state(
         model,
         example_batch,
@@ -311,10 +318,16 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
     if cfg.select("tpu.resume", True) and manager.latest_model_path:
         state = manager.restore(manager.latest_model_path, state)
         state = replicate_state(state, mesh)
-        start_epoch = (manager.latest_epoch or -1) + 1
+        latest = manager.latest_epoch
+        start_epoch = 0 if latest is None else latest + 1
         print(f"[fit] resumed from {manager.latest_model_path} (epoch {start_epoch})")
 
     transform_params = TransformParams.from_config(cfg.transforms)
+    if not cfg.select("tpu.use_pallas", True):
+        # Force the pure-XLA gather shear over the Pallas kernel.
+        import dataclasses
+
+        transform_params = dataclasses.replace(transform_params, rotate_impl="shear")
     train_step = make_train_step(
         model,
         ignore_index,

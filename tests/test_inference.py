@@ -102,6 +102,52 @@ class TestDeviceStitcher:
         out = np.asarray(finalize_canvas(canvas, weights))
         assert np.isfinite(out).all()
 
+    def test_host_fallback_matches_device_path(self, rng):
+        """Scenes over the HBM cap accumulate on host with identical output."""
+        h, w, c = 50, 70, 2
+        sl = generate_image_slice_object(32, stride=16)
+        crops = crop_params_for_scene(h, w, sl)
+        tiles, offsets, heights, widths = [], [], [], []
+        for cp in crops:
+            tile = rng.random((32, 32, c)).astype(np.float32)
+            tile[cp.height :, :, :] = 0
+            tile[:, cp.width :, :] = 0
+            tiles.append(tile)
+            offsets.append([cp.h0, cp.w0])
+            heights.append(cp.height)
+            widths.append(cp.width)
+        tiles = np.stack(tiles)
+        offsets = np.array(offsets)
+        valid = make_tile_valid_mask(heights, widths, 32, 32)
+
+        dev = DeviceStitcher(c)  # default cap: device path
+        dev.add_batch("s", h, w, jnp.asarray(tiles), offsets, valid)
+        small = DeviceStitcher(c, max_canvas_bytes=1024)  # forces host path
+        small.add_batch("s", h, w, jnp.asarray(tiles), offsets, valid)
+        assert "s" in small._host and "s" not in small._canvas
+        np.testing.assert_allclose(
+            small.combined("s"), dev.combined("s"), atol=1e-4
+        )
+
+    @pytest.mark.slow
+    def test_big_raster_6k(self, rng):
+        """A synthetic 6k x 6k scene stitches via the host fallback without
+        allocating a multi-GB device canvas."""
+        h = w = 6000
+        c, tile = 1, 512
+        st = DeviceStitcher(c, max_canvas_bytes=256 << 20)
+        # Sparse coverage is enough to exercise the path end to end.
+        offsets = np.array([[0, 0], [5632, 5632], [2944, 128]], np.int32)
+        tiles = np.ones((3, tile, tile, c), np.float32)
+        valid = make_tile_valid_mask([tile] * 3, [tile] * 3, tile, tile)
+        st.add_batch("big", h, w, jnp.asarray(tiles), offsets, valid)
+        assert "big" in st._host
+        out = st.pop_combined("big")
+        assert out.shape == (h, w, c)
+        np.testing.assert_allclose(out[0, 0], 1.0, atol=1e-4)
+        np.testing.assert_allclose(out[5999, 5999], 1.0, atol=1e-4)
+        assert out[1000, 1000] == 0.0
+
 
 @pytest.mark.slow
 class TestEndToEndInference:

@@ -65,6 +65,31 @@ class TestConfusion:
         got = np.asarray(confusion_from_preds(jnp.asarray(p), jnp.asarray(t), 3, -1))
         np.testing.assert_allclose(got, oracle_confusion(p, t, 3, -1))
 
+    def test_sentinel_ignored_even_with_resolved_ignore_index(self, rng):
+        """ignore_index=-1 configs resolve to n_classes-1 for loss/metrics
+        while the dataset keeps the raw -1 sentinel in targets; those pixels
+        must be dropped, not clipped into class 0 (ADVICE r1)."""
+        from floodplanet_code_tpu.ops.losses import cross_entropy_ignore
+
+        t = rng.integers(-1, 2, (512,)).astype(np.int32)  # {-1, 0, 1}
+        p = rng.integers(0, 3, (512,)).astype(np.int32)
+        resolved = 2  # resolve_ignore_index(-1, n_classes=3)
+        got = np.asarray(confusion_from_preds(jnp.asarray(p), jnp.asarray(t), 3, resolved))
+        # Oracle: only pixels with t in {0, 1} count.
+        keep = t >= 0
+        np.testing.assert_allclose(got, oracle_confusion(p[keep], t[keep], 3))
+        # Loss likewise excludes the sentinel pixels entirely.
+        logits = rng.standard_normal((512, 3)).astype(np.float32)
+        loss_all = float(
+            cross_entropy_ignore(jnp.asarray(logits), jnp.asarray(t), resolved)
+        )
+        loss_kept = float(
+            cross_entropy_ignore(
+                jnp.asarray(logits[keep]), jnp.asarray(t[keep]), resolved
+            )
+        )
+        np.testing.assert_allclose(loss_all, loss_kept, rtol=1e-6)
+
     def test_sample_weight_mask(self, rng):
         t = rng.integers(0, 3, (4, 8, 8)).astype(np.int32)
         p = rng.integers(0, 3, (4, 8, 8)).astype(np.int32)

@@ -72,6 +72,52 @@ class TestRotateBatch:
             rotate_batch(jnp.ones((1, 32, 64, 1)), jnp.zeros(1))
 
 
+class TestPallasShearInterpret:
+    """Run the exact Pallas kernel body on CPU via interpret mode so kernel
+    edits can't silently break rotation between hardware runs."""
+
+    @pytest.fixture(autouse=True)
+    def interpret_mode(self):
+        from floodplanet_code_tpu.ops import rotate as rot
+
+        old = rot._INTERPRET
+        rot._INTERPRET = True
+        # The jitted wrapper captures _INTERPRET at trace time; drop caches
+        # so this test (and anything after it) traces fresh.
+        rot._shear_x_pallas_batch.clear_cache()
+        yield
+        rot._INTERPRET = old
+        rot._shear_x_pallas_batch.clear_cache()
+
+    @pytest.mark.parametrize("angle", [13.0, 44.0, 200.0, 321.0])
+    def test_pallas_matches_gather_shear(self, rng, angle):
+        img = rng.random((2, 32, 32, 3)).astype(np.float32)
+        angles = jnp.asarray([angle, angle / 2 + 1.0])
+        got = np.asarray(
+            rotate_batch(jnp.asarray(img), angles, order=1, impl="pallas")
+        )
+        want = np.asarray(
+            rotate_batch(jnp.asarray(img), angles, order=1, impl="gather")
+        )
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_pallas_mixed_order_matches_gather(self, rng):
+        # image channels bilinear + label/validity channels nearest, the
+        # exact augment_batch configuration.
+        img = rng.random((1, 32, 32, 2)).astype(np.float32)
+        lbl = (rng.random((1, 32, 32, 1)) > 0.5).astype(np.float32)
+        ones = np.ones((1, 32, 32, 1), np.float32)
+        combined = jnp.asarray(np.concatenate([img, lbl, ones], axis=-1))
+        angles = jnp.asarray([37.0])
+        got = np.asarray(
+            rotate_batch(combined, angles, order=1, impl="pallas", nearest_from=2)
+        )
+        want = np.asarray(
+            rotate_batch(combined, angles, order=1, impl="gather", nearest_from=2)
+        )
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+
 class TestAugmentWithShear:
     def test_augment_uses_shear_and_preserves_labels(self, rng):
         params = TransformParams(

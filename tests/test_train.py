@@ -87,9 +87,13 @@ class TestTrainStep:
         state2, logs2 = step(state2, sbatch, key)
 
         assert float(logs1["loss"]) == pytest.approx(float(logs2["loss"]), rel=1e-4)
-        np.testing.assert_allclose(
-            np.asarray(logs1["confusion"]), np.asarray(logs2["confusion"]), atol=0.5
+        # Different cross-device reduction orders can flip the argmax of a
+        # handful of near-tie pixels; the CMs must agree up to a few counts
+        # (out of ~4k pixels), not exactly.
+        cm_diff = np.abs(
+            np.asarray(logs1["confusion"]) - np.asarray(logs2["confusion"])
         )
+        assert cm_diff.sum() <= 8, f"confusion matrices diverged:\n{cm_diff}"
         p1 = np.concatenate(
             [np.asarray(x).ravel() for x in jax.tree.leaves(state1.params)]
         )
