@@ -180,9 +180,7 @@ class FloodPlanetDataset:
         n_skipped = 0
         kept_paths = []
         for image_path, region_name in image_paths:
-            image_name = os.path.splitext(os.path.basename(image_path))[0]
-            region_dir = os.path.dirname(os.path.dirname(image_path))
-            label_path = os.path.join(region_dir, "labels", image_name + ".tif")
+            label_path = self._label_path(image_path)
             if not os.path.exists(label_path):
                 # Scenes without labels are skipped with a warning (the
                 # reference drops into pdb here, floodplanet.py:97-99).
@@ -192,7 +190,7 @@ class FloodPlanetDataset:
                 # Multi-sensor fusion requires the same scene in every
                 # sensor's directory.
                 siblings = [
-                    os.path.join(region_dir, s, image_name + ".tif")
+                    self._sibling_sensor_path(image_path, s)
                     for s in self.sensors[1:]
                 ]
                 if not all(os.path.exists(p) for p in siblings):
@@ -361,6 +359,18 @@ class FloodPlanetDataset:
                 self._scene_cache.popitem(last=False)
         return chw
 
+    def _label_path(self, image_path: str) -> str:
+        """Label path convention: <region>/labels/<image_name>.tif
+        (reference floodplanet.py:94-95). Subclasses override."""
+        image_name = os.path.splitext(os.path.basename(image_path))[0]
+        region_dir = os.path.dirname(os.path.dirname(image_path))
+        return os.path.join(region_dir, "labels", image_name + ".tif")
+
+    def _binarize(self, label: np.ndarray) -> np.ndarray:
+        """Raw label values -> {0 dry, 1 flood, ignore} (CSDAP semantics:
+        raw {0 nodata, 1 dry, 2 flood}). Subclasses override."""
+        return binarize_label(label, self.ignore_index)
+
     def _sibling_sensor_path(self, image_path: str, sensor: str) -> str:
         """Path of the same scene under another sensor's directory."""
         region_dir = os.path.dirname(os.path.dirname(image_path))
@@ -430,7 +440,7 @@ class FloodPlanetDataset:
             label = label[
                 crop_params.h0 : crop_params.hE, crop_params.w0 : crop_params.wE
             ]
-        return binarize_label(label, self.ignore_index)
+        return self._binarize(label)
 
     def load_example(self, index: int, output_metadata: bool | None = None) -> dict:
         """Load one fixed-shape example (reference __getitem__, floodplanet.py:600).
@@ -528,7 +538,7 @@ class FloodPlanetDataset:
                     window, self.sensor, self.channels
                 )
                 image = sensor_lib.normalize_sensor_range(window, self.sensor)
-                target = binarize_label(raw[2 * slot + 1], self.ignore_index)
+                target = self._binarize(raw[2 * slot + 1])
                 image, mean, std = normalize_stats(
                     image,
                     self.norm_mode,
@@ -573,8 +583,15 @@ class FloodPlanetDataset:
         return sensor_lib.to_rgb(image, self.sensor, self.channels, gamma=gamma)
 
 
+def _sen1floods11():
+    from floodplanet_code_tpu.data.sen1floods11 import Sen1Floods11Dataset
+
+    return Sen1Floods11Dataset
+
+
 DATASETS = {
     "floodplanet": FloodPlanetDataset,
+    "sen1floods11": _sen1floods11,
 }
 
 
@@ -590,6 +607,8 @@ def build_dataset(dset_name: str, split: str, slice_params: ImageSlice, **kwargs
         raise KeyError(
             f'Dataset "{dset_name}" not found. Available: {sorted(DATASETS)}'
         )
+    if not isinstance(dataset_cls, type):  # lazy-import entries
+        dataset_cls = dataset_cls()
     root_dir = kwargs.pop("root_dir", None)
     if root_dir is None:
         from floodplanet_code_tpu.config import get_dataset_root

@@ -40,7 +40,16 @@ class BatchLoader:
         seed: int | None = 0,
         output_metadata: bool = False,
         pad_final: bool = True,
+        process_shard: tuple[int, int] | None = None,
     ):
+        """``batch_size`` is always the GLOBAL batch size.
+
+        ``process_shard=(process_id, process_count)`` makes this host load
+        only its slice of every global batch: all hosts partition the SAME
+        seeded epoch order, so batch counts and global example placement
+        agree across processes with zero coordination traffic (multi-host
+        data sharding, SURVEY.md §5.8).
+        """
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -48,6 +57,16 @@ class BatchLoader:
         self.drop_last = drop_last
         self.output_metadata = output_metadata
         self.pad_final = pad_final
+        self.process_shard = process_shard
+        if process_shard is not None:
+            pid, pcount = process_shard
+            if batch_size % pcount != 0:
+                raise ValueError(
+                    f"global batch size {batch_size} not divisible by "
+                    f"{pcount} processes"
+                )
+            if not 0 <= pid < pcount:
+                raise ValueError(f"bad process_shard {process_shard}")
         self._rng = np.random.default_rng(seed)
         self._epoch = 0
 
@@ -64,13 +83,13 @@ class BatchLoader:
         self._epoch += 1
         return order
 
-    def _assemble(self, examples: list, n_valid: int) -> dict:
+    def _assemble(self, examples: list, valid_flags: np.ndarray) -> dict:
         batch = {
             "image": np.stack([e["image"] for e in examples]),
             "target": np.stack([e["target"] for e in examples]),
             "mean": np.stack([e["mean"] for e in examples]),
             "std": np.stack([e["std"] for e in examples]),
-            "valid": (np.arange(len(examples)) < n_valid),
+            "valid": np.asarray(valid_flags, bool),
         }
         if self.output_metadata:
             batch["metadata"] = [e.get("metadata") for e in examples]
@@ -81,15 +100,38 @@ class BatchLoader:
         n = len(order)
         use_batch_api = hasattr(self.dataset, "load_batch")
 
-        # Partition the epoch into batch index lists up front.
-        batches: list[list[int]] = []
+        # Partition the epoch into GLOBAL batches up front. A short final
+        # batch is padded to full size by repeating its last index, with a
+        # validity flag per position ('valid' masks padding out of metrics
+        # and stitching). This fixed global structure is what lets each
+        # host slice out its share deterministically.
+        batches: list[tuple[list[int], np.ndarray]] = []
         position = 0
         while position < n:
             end = min(position + self.batch_size, n)
             if end - position < self.batch_size and self.drop_last:
                 break
-            batches.append([int(order[i]) for i in range(position, end)])
+            idx = [int(order[i]) for i in range(position, end)]
+            flags = np.ones(self.batch_size, bool)
+            if len(idx) < self.batch_size:
+                if not self.pad_final:
+                    raise ValueError(
+                        "final batch is ragged; enable pad_final or drop_last"
+                    )
+                flags[len(idx) :] = False
+                idx = idx + [idx[-1]] * (self.batch_size - len(idx))
+            batches.append((idx, flags))
             position = end
+
+        if self.process_shard is not None:
+            # This host loads only its slice of every global batch.
+            pid, pcount = self.process_shard
+            local = self.batch_size // pcount
+            batches = [
+                (idx[pid * local : (pid + 1) * local],
+                 flags[pid * local : (pid + 1) * local])
+                for idx, flags in batches
+            ]
 
         def load(batch_indices: list[int]) -> list[dict]:
             if use_batch_api:
@@ -105,22 +147,15 @@ class BatchLoader:
         with ThreadPoolExecutor(max_workers=self.n_workers) as pool:
             inflight = 3  # batches in flight
             futures = {
-                i: pool.submit(load, batches[i])
+                i: pool.submit(load, batches[i][0])
                 for i in range(min(inflight, len(batches)))
             }
             for b in range(len(batches)):
                 examples = futures.pop(b).result()
                 nxt = b + inflight
                 if nxt < len(batches):
-                    futures[nxt] = pool.submit(load, batches[nxt])
-                n_valid = len(examples)
-                if n_valid < self.batch_size and self.pad_final:
-                    # Pad with duplicates of the last example; 'valid' masks
-                    # them out of metrics and stitching.
-                    examples = examples + [examples[-1]] * (
-                        self.batch_size - n_valid
-                    )
-                yield self._assemble(examples, n_valid)
+                    futures[nxt] = pool.submit(load, batches[nxt][0])
+                yield self._assemble(examples, batches[b][1])
 
 
 def device_prefetch(iterator, sharding=None, size: int = 2):
@@ -133,16 +168,22 @@ def device_prefetch(iterator, sharding=None, size: int = 2):
     """
     import jax
 
+    multiprocess = jax.process_count() > 1
+
     def put(batch):
         out = {}
         for key, value in batch.items():
             if isinstance(value, np.ndarray):
                 s = sharding.get(key) if isinstance(sharding, dict) else sharding
-                out[key] = (
-                    jax.device_put(value, s)
-                    if s is not None
-                    else jax.device_put(value)
-                )
+                if s is not None and multiprocess:
+                    # value is this host's slice of the global batch
+                    # (BatchLoader process_shard); assemble the global
+                    # jax.Array spanning all hosts' devices.
+                    out[key] = jax.make_array_from_process_local_data(s, value)
+                elif s is not None:
+                    out[key] = jax.device_put(value, s)
+                else:
+                    out[key] = jax.device_put(value)
             else:
                 out[key] = value
         return out

@@ -137,13 +137,6 @@ def _shear_x_pallas_single(
     )
     wpad = padded.shape[2]
     src = shifts + pad  # slice start into the padded row, >= 0
-    if order == 0:
-        k = jnp.round(src).astype(jnp.int32)
-        frac = jnp.zeros_like(src)
-    else:
-        k = jnp.floor(src).astype(jnp.int32)
-        frac = src - k.astype(jnp.float32)
-    k = jnp.clip(k, 0, wpad - w - 1)
 
     # Row- and column-chunked 3-D grid: every dynamic slice is at most
     # W_BLK sublanes and every VMEM block stays small — large tiles
@@ -166,7 +159,25 @@ def _shear_x_pallas_single(
     while h_blk * wpad * c * img.dtype.itemsize > 96 * 1024:
         h_blk //= 2
     h_blk = max(h_blk, 1)
-    n_hblk = h // h_blk
+    # Row-pad to a whole number of blocks: without this, any h not divisible
+    # by h_blk (e.g. the reference's 300 px crops) leaves the last h % h_blk
+    # rows of every tile UNWRITTEN — uninitialized HBM garbage/NaNs.
+    n_hblk = -(-h // h_blk)
+    h_pad = n_hblk * h_blk
+    if h_pad != h:
+        padded = jnp.pad(
+            padded, ((0, 0), (0, h_pad - h), (0, 0), (0, 0)),
+            constant_values=cval,
+        )
+        src = jnp.pad(src, ((0, 0), (0, h_pad - h)))
+
+    if order == 0:
+        k = jnp.round(src).astype(jnp.int32)
+        frac = jnp.zeros_like(src)
+    else:
+        k = jnp.floor(src).astype(jnp.int32)
+        frac = src - k.astype(jnp.float32)
+    k = jnp.clip(k, 0, wpad - w - 1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -214,11 +225,11 @@ def _shear_x_pallas_single(
 
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, h, w_round, c), img.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h_pad, w_round, c), img.dtype),
         grid_spec=grid_spec,
         interpret=_INTERPRET,
     )(k, frac_q, padded)
-    return out[:, :, :w, :]
+    return out[:, :h, :w, :]
 
 
 def _shear_x_batch(

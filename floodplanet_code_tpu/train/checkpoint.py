@@ -69,14 +69,25 @@ class CheckpointManager:
         return f"model-epoch={epoch:02d}-{self.monitor}={metric:.4f}"
 
     def save(self, state: Any, epoch: int, metrics: dict) -> str:
-        """Save a checkpoint; retain top-k by monitored metric + the latest."""
+        """Save a checkpoint; retain top-k by monitored metric + the latest.
+
+        Multi-host: MUST be called on every process — orbax's save is a
+        collective (it synchronizes all hosts internally). Side files
+        (metrics.json, index.json) and retention deletes are written by the
+        coordinator only; the checkpoint directory is assumed shared.
+        """
+        import jax as _jax
+
+        coordinator = _jax.process_index() == 0
         metric = float(lookup_metric(metrics, self.monitor, 0.0))
         name = self._entry_name(epoch, metric)
         path = os.path.join(self.ckpt_dir, name)
-        if os.path.exists(path):
+        if coordinator and os.path.exists(path):
             shutil.rmtree(path)
         self._checkpointer.save(path, _to_saveable(state))
         self._checkpointer.wait_until_finished()
+        if not coordinator:
+            return path
         with open(os.path.join(path, "metrics.json"), "w") as handle:
             json.dump(
                 {k: _scalar(v) for k, v in metrics.items()} | {"epoch": epoch},

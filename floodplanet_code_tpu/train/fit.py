@@ -220,9 +220,17 @@ def default_experiment_dir(cfg: Config) -> str:
 
 def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
     """Train; returns the best checkpoint path (reference fit.py:16-103)."""
+    from floodplanet_code_tpu.parallel import multihost
+
+    # Multi-host: join the jax.distributed cluster when configured (no-op
+    # single-process). Only the coordinator writes config/ckpts/TB.
+    multihost.initialize_from_env_or_config(cfg)
+    coordinator = multihost.is_coordinator()
+
     exp_dir = overwrite_exp_dir or default_experiment_dir(cfg)
-    os.makedirs(exp_dir, exist_ok=True)
-    save_config(cfg, exp_dir)
+    if coordinator:
+        os.makedirs(exp_dir, exist_ok=True)
+        save_config(cfg, exp_dir)
 
     if cfg.select("tpu.debug_nans", False):
         jax.config.update("jax_debug_nans", True)
@@ -258,7 +266,12 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
         mesh = make_mesh(cfg.select("tpu.n_devices"))
     data_sharding = batch_shardings_for(mesh)
     n_data = mesh.shape[mesh.axis_names[0]]
-    n_devices = n_data  # batch divisibility is per data-axis shard
+    # The global batch must split evenly over both the data-axis shards and
+    # the host processes (each host loads batch/process_count examples).
+    divisor = n_data * multihost.process_count() // (
+        np.gcd(n_data, multihost.process_count())
+    )
+    n_devices = divisor
     batch_size = cfg.batch_size
     if batch_size % n_devices != 0:
         batch_size = max(n_devices, (batch_size // n_devices) * n_devices)
@@ -267,6 +280,7 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
             f"data shards; using {batch_size}"
         )
 
+    shard = multihost.process_shard()
     train_loader = BatchLoader(
         train_dataset,
         batch_size=batch_size,
@@ -274,6 +288,7 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
         n_workers=cfg.n_workers,
         drop_last=True,
         seed=cfg.seed_num,
+        process_shard=shard,
     )
     valid_loader = BatchLoader(
         valid_dataset,
@@ -282,6 +297,7 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
         n_workers=cfg.n_workers,
         drop_last=False,
         pad_final=True,
+        process_shard=shard,
     )
 
     compute_dtype = {
@@ -342,7 +358,22 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
 
     from floodplanet_code_tpu.train.logging import log_image_panel
 
-    writer = SummaryWriter(os.path.join(exp_dir, "tensorboard_logs"))
+    # Coordinator-only TB writes; other hosts get a no-op writer.
+    class _NullWriter:
+        def add_scalar(self, *a, **k):
+            pass
+
+        def add_image(self, *a, **k):
+            pass
+
+        def close(self):
+            pass
+
+    writer = (
+        SummaryWriter(os.path.join(exp_dir, "tensorboard_logs"))
+        if coordinator
+        else _NullWriter()
+    )
 
     @jax.jit
     def logits_step(state: TrainState, image):
@@ -476,13 +507,15 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
                 f"[profiler] epoch {epoch}: {train_time:.1f}s train, "
                 f"{tiles_per_sec:.1f} tiles/s"
             )
-        print(
-            f"epoch {epoch}: loss {float(np.asarray(train_metrics['train_loss'])):.4f} "
-            f"val_IoU {monitored.get(MONITOR_KEY, 0.0):.4f} "
-            f"water_IoU {monitored.get('val_water_IoU', 0.0):.4f} "
-            f"({tiles_per_sec:.1f} tiles/s)"
-        )
-
+        if coordinator:
+            print(
+                f"epoch {epoch}: loss {float(np.asarray(train_metrics['train_loss'])):.4f} "
+                f"val_IoU {monitored.get(MONITOR_KEY, 0.0):.4f} "
+                f"water_IoU {monitored.get('val_water_IoU', 0.0):.4f} "
+                f"({tiles_per_sec:.1f} tiles/s)"
+            )
+        # Collective: orbax synchronizes all hosts inside save (the
+        # coordinator alone writes the side files / retention deletes).
         manager.save(state, epoch, monitored)
 
     writer.close()

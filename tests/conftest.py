@@ -105,3 +105,41 @@ def make_synthetic_csdap(
 def synthetic_csdap_root(tmp_path_factory):
     root = tmp_path_factory.mktemp("csdap_data")
     return str(make_synthetic_csdap(str(root)))
+
+
+def make_synthetic_sen1floods11(
+    root,
+    regions=("Bolivia", "Ghana", "Mekong"),
+    chips_per_region=2,
+    chip_hw=(96, 96),
+    seed=0,
+):
+    """Miniature Sen1Floods11 v1.1 hand-labeled layout: flat S1Hand/S2Hand/
+    LabelHand dirs, labels in {-1 nodata, 0 dry, 1 water}."""
+    from floodplanet_code_tpu.geo import tiff
+
+    rng = np.random.default_rng(seed)
+    h, w = chip_hw
+    for sub in ("S1Hand", "S2Hand", "LabelHand"):
+        os.makedirs(os.path.join(root, sub), exist_ok=True)
+    for region in regions:
+        for i in range(chips_per_region):
+            stem = f"{region}_{100 + i}"
+            label = rng.choice(
+                [-1, 0, 1], size=(h, w), p=[0.1, 0.6, 0.3]
+            ).astype(np.int16)
+            tiff.imwrite(
+                os.path.join(root, "LabelHand", f"{stem}_LabelHand.tif"), label
+            )
+            s1 = rng.uniform(-30.0, 5.0, size=(2, h, w)).astype(np.float32)
+            s1[0] = np.where(label == 1, 4.0, -25.0)
+            tiff.imwrite(os.path.join(root, "S1Hand", f"{stem}_S1Hand.tif"), s1)
+            s2 = rng.uniform(0, 4096, size=(13, h, w)).astype(np.uint16)
+            tiff.imwrite(os.path.join(root, "S2Hand", f"{stem}_S2Hand.tif"), s2)
+    return root
+
+
+@pytest.fixture(scope="session")
+def synthetic_s1f11_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("s1f11_data")
+    return str(make_synthetic_sen1floods11(str(root)))

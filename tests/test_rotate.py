@@ -101,6 +101,21 @@ class TestPallasShearInterpret:
         )
         np.testing.assert_allclose(got, want, atol=1e-4)
 
+    def test_pallas_300px_rows_all_written(self, rng):
+        """300 px tiles (the reference's crop size) are not divisible by the
+        halved row-block; the kernel must row-pad, not leave the last rows
+        of every tile unwritten (caused NaN losses in real CV runs)."""
+        img = rng.random((1, 300, 300, 1)).astype(np.float32)
+        angles = jnp.asarray([25.0])
+        got = np.asarray(
+            rotate_batch(jnp.asarray(img), angles, order=1, impl="pallas")
+        )
+        want = np.asarray(
+            rotate_batch(jnp.asarray(img), angles, order=1, impl="gather")
+        )
+        assert np.isfinite(got).all()
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
     def test_pallas_mixed_order_matches_gather(self, rng):
         # image channels bilinear + label/validity channels nearest, the
         # exact augment_batch configuration.
