@@ -29,6 +29,45 @@ from flax import linen as nn
 Dtype = Any
 
 
+class FusedBatchNormReLU(nn.Module):
+    """BatchNorm + ReLU with the hand-fused train path (ops/batchnorm.py).
+
+    Variable tree is identical to ``nn.BatchNorm`` (params scale/bias,
+    batch_stats mean/var), so checkpoints interoperate with the flax-BN
+    build bit-for-bit.
+    """
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        from floodplanet_code_tpu.ops.batchnorm import bn_relu_train
+
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", nn.initializers.zeros, None, (c,), jnp.float32
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", nn.initializers.ones, None, (c,), jnp.float32
+        )
+        if not train or self.is_initializing():
+            inv = jax.lax.rsqrt(ra_var.value + self.epsilon)
+            a = (inv * scale).astype(self.dtype)
+            b = (bias - ra_mean.value * inv * scale).astype(self.dtype)
+            return nn.relu(x.astype(self.dtype) * a + b)
+        z, mean, var = bn_relu_train(
+            x.astype(self.dtype), scale, bias, self.epsilon, self.axis_name
+        )
+        ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+        ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        return z
+
+
 class DoubleConv(nn.Module):
     """(conv3x3 => BN => ReLU) * 2 (reference unet.py:6-20)."""
 
@@ -36,11 +75,12 @@ class DoubleConv(nn.Module):
     mid_channels: int | None = None
     dtype: Dtype = jnp.float32
     bn_axis_name: str | None = None
+    fused_bn: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         mid = self.mid_channels or self.out_channels
-        for channels in (mid, self.out_channels):
+        for i, channels in enumerate((mid, self.out_channels)):
             x = nn.Conv(
                 channels,
                 kernel_size=(3, 3),
@@ -49,15 +89,25 @@ class DoubleConv(nn.Module):
                 dtype=self.dtype,
                 param_dtype=jnp.float32,
             )(x)
-            x = nn.BatchNorm(
-                use_running_average=not train,
-                momentum=0.9,
-                epsilon=1e-5,
-                dtype=self.dtype,
-                param_dtype=jnp.float32,
-                axis_name=self.bn_axis_name if train else None,
-            )(x)
-            x = nn.relu(x)
+            if self.fused_bn:
+                x = FusedBatchNormReLU(
+                    momentum=0.9,
+                    epsilon=1e-5,
+                    dtype=self.dtype,
+                    axis_name=self.bn_axis_name if train else None,
+                    name=f"BatchNorm_{i}",
+                )(x, train)
+            else:
+                x = nn.BatchNorm(
+                    use_running_average=not train,
+                    momentum=0.9,
+                    epsilon=1e-5,
+                    dtype=self.dtype,
+                    param_dtype=jnp.float32,
+                    axis_name=self.bn_axis_name if train else None,
+                    name=f"BatchNorm_{i}",
+                )(x)
+                x = nn.relu(x)
         return x
 
 
@@ -67,12 +117,16 @@ class Down(nn.Module):
     out_channels: int
     dtype: Dtype = jnp.float32
     bn_axis_name: str | None = None
+    fused_bn: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
         return DoubleConv(
-            self.out_channels, dtype=self.dtype, bn_axis_name=self.bn_axis_name
+            self.out_channels,
+            dtype=self.dtype,
+            bn_axis_name=self.bn_axis_name,
+            fused_bn=self.fused_bn,
         )(x, train)
 
 
@@ -109,6 +163,7 @@ class Up(nn.Module):
     mid_channels: int | None = None
     dtype: Dtype = jnp.float32
     bn_axis_name: str | None = None
+    fused_bn: bool = True
 
     @nn.compact
     def __call__(
@@ -122,6 +177,7 @@ class Up(nn.Module):
             mid_channels=self.mid_channels,
             dtype=self.dtype,
             bn_axis_name=self.bn_axis_name,
+            fused_bn=self.fused_bn,
         )(x, train)
 
 
@@ -131,11 +187,16 @@ class UNetEncoder(nn.Module):
     base_feat_channels: int = 64
     dtype: Dtype = jnp.float32
     bn_axis_name: str | None = None
+    fused_bn: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> list:
         bfc = self.base_feat_channels
-        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        kw = dict(
+            dtype=self.dtype,
+            bn_axis_name=self.bn_axis_name,
+            fused_bn=self.fused_bn,
+        )
         x1 = DoubleConv(bfc, **kw)(x, train)
         x2 = Down(bfc * 2, **kw)(x1, train)
         x3 = Down(bfc * 4, **kw)(x2, train)
@@ -156,12 +217,17 @@ class UNetDecoder(nn.Module):
     base_feat_channels: int = 64
     dtype: Dtype = jnp.float32
     bn_axis_name: str | None = None
+    fused_bn: bool = True
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
         x1, x2, x3, x4, x5 = feats
         bfc = self.base_feat_channels
-        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        kw = dict(
+            dtype=self.dtype,
+            bn_axis_name=self.bn_axis_name,
+            fused_bn=self.fused_bn,
+        )
         # Bilinear variant: each Up halves channels; mid = in_channels // 2
         # (reference DoubleConv(in, out, in//2), unet.py:46).
         x = Up(bfc * 4, mid_channels=bfc * 8, **kw)(x5, x4, train)
@@ -184,18 +250,21 @@ class UNet(nn.Module):
     base_feat_channels: int = 64
     dtype: Dtype = jnp.float32
     bn_axis_name: str | None = None
+    fused_bn: bool = True
 
     def setup(self):
         self.encoder = UNetEncoder(
             base_feat_channels=self.base_feat_channels,
             dtype=self.dtype,
             bn_axis_name=self.bn_axis_name,
+            fused_bn=self.fused_bn,
         )
         self.decoder = UNetDecoder(
             n_classes=self.n_classes,
             base_feat_channels=self.base_feat_channels,
             dtype=self.dtype,
             bn_axis_name=self.bn_axis_name,
+            fused_bn=self.fused_bn,
         )
 
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:

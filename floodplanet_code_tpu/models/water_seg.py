@@ -42,6 +42,7 @@ class WaterSegModel(nn.Module):
     base_feat_channels: int = 64
     dtype: Dtype = jnp.float32
     bn_axis_name: str | None = None
+    fused_bn: bool = True
 
     @nn.compact
     def __call__(self, batch: dict, train: bool = False) -> jnp.ndarray:
@@ -50,6 +51,7 @@ class WaterSegModel(nn.Module):
             base_feat_channels=self.base_feat_channels,
             dtype=self.dtype,
             bn_axis_name=self.bn_axis_name,
+            fused_bn=self.fused_bn,
         )(batch["image"], train)
 
 
@@ -60,6 +62,7 @@ class EarlyFusionModel(nn.Module):
     base_feat_channels: int = 64
     dtype: Dtype = jnp.float32
     bn_axis_name: str | None = None
+    fused_bn: bool = True
 
     @nn.compact
     def __call__(self, batch: dict, train: bool = False) -> jnp.ndarray:
@@ -73,6 +76,7 @@ class EarlyFusionModel(nn.Module):
             base_feat_channels=self.base_feat_channels,
             dtype=self.dtype,
             bn_axis_name=self.bn_axis_name,
+            fused_bn=self.fused_bn,
         )(x, train)
 
 
@@ -89,6 +93,7 @@ class LateFusionModel(nn.Module):
     base_feat_channels: int = 64
     dtype: Dtype = jnp.float32
     bn_axis_name: str | None = None
+    fused_bn: bool = True
 
     @nn.compact
     def __call__(self, batch: dict, train: bool = False) -> jnp.ndarray:
@@ -113,6 +118,7 @@ class LateFusionModel(nn.Module):
                 base_feat_channels=self.base_feat_channels,
                 dtype=self.dtype,
                 bn_axis_name=self.bn_axis_name,
+                fused_bn=self.fused_bn,
                 name=f"encoder_{name}",
             )
             pyramids.append(encoder(modality_input[name], train))
@@ -136,6 +142,7 @@ class LateFusionModel(nn.Module):
             base_feat_channels=self.base_feat_channels,
             dtype=self.dtype,
             bn_axis_name=self.bn_axis_name,
+            fused_bn=self.fused_bn,
         )
         return decoder(fused, train)
 
