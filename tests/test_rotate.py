@@ -133,6 +133,44 @@ class TestPallasShearInterpret:
         np.testing.assert_allclose(got, want, atol=1e-4)
 
 
+class TestRollShear:
+    """Bit-decomposed static-roll shear backend vs the gather reference."""
+
+    @pytest.mark.parametrize("angle", [13.0, 44.0, 200.0, 321.0])
+    @pytest.mark.parametrize("order", [0, 1])
+    def test_roll_matches_gather(self, rng, angle, order):
+        img = rng.random((2, 48, 48, 3)).astype(np.float32)
+        angles = jnp.asarray([angle, angle / 2 + 1.0])
+        got = np.asarray(
+            rotate_batch(jnp.asarray(img), angles, order=order, impl="roll")
+        )
+        want = np.asarray(
+            rotate_batch(jnp.asarray(img), angles, order=order, impl="gather")
+        )
+        np.testing.assert_allclose(got, want, atol=2e-4)
+
+    def test_roll_mixed_order_and_fill(self, rng):
+        img = rng.random((1, 300, 300, 2)).astype(np.float32)
+        lbl = (rng.random((1, 300, 300, 1)) > 0.5).astype(np.float32)
+        ones = np.ones((1, 300, 300, 1), np.float32)
+        combined = jnp.asarray(np.concatenate([img, lbl, ones], axis=-1))
+        angles = jnp.asarray([37.0])
+        got = np.asarray(
+            rotate_batch(
+                combined, angles, order=1, cval=0.0, impl="roll",
+                nearest_from=2,
+            )
+        )
+        want = np.asarray(
+            rotate_batch(
+                combined, angles, order=1, cval=0.0, impl="gather",
+                nearest_from=2,
+            )
+        )
+        assert np.isfinite(got).all()
+        np.testing.assert_allclose(got, want, atol=2e-4)
+
+
 class TestAugmentWithShear:
     def test_augment_uses_shear_and_preserves_labels(self, rng):
         params = TransformParams(
