@@ -130,12 +130,42 @@ class Down(nn.Module):
         )(x, train)
 
 
-def _upsample2x(x: jnp.ndarray) -> jnp.ndarray:
-    """Bilinear 2x upsample (reference nn.Upsample(bilinear), unet.py:43-45)."""
+def _upsample2x(x: jnp.ndarray, align_corners: bool = False) -> jnp.ndarray:
+    """Bilinear 2x upsample (reference nn.Upsample(bilinear), unet.py:43-45).
+
+    ``align_corners=False`` (default) is jax.image.resize's half-pixel
+    convention — the fast path every model trained in this framework uses.
+    ``align_corners=True`` reproduces torch's
+    ``nn.Upsample(align_corners=True)`` exactly (needed for bit-faithful
+    inference from checkpoints imported with
+    tools/import_torch_checkpoint.py); implemented as two 1-D
+    interpolation matmuls, which the MXU handles at negligible cost.
+    """
     b, h, w, c = x.shape
-    return jax.image.resize(x, (b, 2 * h, 2 * w, c), method="linear").astype(
-        x.dtype
-    )
+    if not align_corners:
+        return jax.image.resize(
+            x, (b, 2 * h, 2 * w, c), method="linear"
+        ).astype(x.dtype)
+    ah = jnp.asarray(_align_corners_matrix(h, 2 * h), x.dtype)
+    aw = jnp.asarray(_align_corners_matrix(w, 2 * w), x.dtype)
+    out = jnp.einsum("oh,bhwc->bowc", ah, x)
+    return jnp.einsum("pw,bowc->bopc", aw, out).astype(x.dtype)
+
+
+def _align_corners_matrix(n_in: int, n_out: int) -> "np.ndarray":
+    """[n_out, n_in] 1-D linear-interp matrix, torch align_corners=True."""
+    import numpy as np
+
+    if n_in == 1:
+        return np.ones((n_out, 1), np.float32)
+    src = np.arange(n_out) * (n_in - 1) / (n_out - 1)
+    i0 = np.floor(src).astype(np.int64)
+    i1 = np.minimum(i0 + 1, n_in - 1)
+    frac = (src - i0).astype(np.float32)
+    mat = np.zeros((n_out, n_in), np.float32)
+    mat[np.arange(n_out), i0] += 1.0 - frac
+    mat[np.arange(n_out), i1] += frac
+    return mat
 
 
 def _pad_to_match(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
@@ -164,12 +194,13 @@ class Up(nn.Module):
     dtype: Dtype = jnp.float32
     bn_axis_name: str | None = None
     fused_bn: bool = True
+    align_corners: bool = False
 
     @nn.compact
     def __call__(
         self, x1: jnp.ndarray, x2: jnp.ndarray, train: bool = False
     ) -> jnp.ndarray:
-        x1 = _upsample2x(x1)
+        x1 = _upsample2x(x1, self.align_corners)
         x1 = _pad_to_match(x1, x2)
         x = jnp.concatenate([x2, x1], axis=-1)
         return DoubleConv(
@@ -218,6 +249,7 @@ class UNetDecoder(nn.Module):
     dtype: Dtype = jnp.float32
     bn_axis_name: str | None = None
     fused_bn: bool = True
+    align_corners: bool = False
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
@@ -227,6 +259,7 @@ class UNetDecoder(nn.Module):
             dtype=self.dtype,
             bn_axis_name=self.bn_axis_name,
             fused_bn=self.fused_bn,
+            align_corners=self.align_corners,
         )
         # Bilinear variant: each Up halves channels; mid = in_channels // 2
         # (reference DoubleConv(in, out, in//2), unet.py:46).
@@ -251,6 +284,7 @@ class UNet(nn.Module):
     dtype: Dtype = jnp.float32
     bn_axis_name: str | None = None
     fused_bn: bool = True
+    align_corners: bool = False
 
     def setup(self):
         self.encoder = UNetEncoder(
@@ -265,6 +299,7 @@ class UNet(nn.Module):
             dtype=self.dtype,
             bn_axis_name=self.bn_axis_name,
             fused_bn=self.fused_bn,
+            align_corners=self.align_corners,
         )
 
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:

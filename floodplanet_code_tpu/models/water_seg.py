@@ -43,6 +43,7 @@ class WaterSegModel(nn.Module):
     dtype: Dtype = jnp.float32
     bn_axis_name: str | None = None
     fused_bn: bool = True
+    align_corners: bool = False
 
     @nn.compact
     def __call__(self, batch: dict, train: bool = False) -> jnp.ndarray:
@@ -52,6 +53,7 @@ class WaterSegModel(nn.Module):
             dtype=self.dtype,
             bn_axis_name=self.bn_axis_name,
             fused_bn=self.fused_bn,
+            align_corners=self.align_corners,
         )(batch["image"], train)
 
 
@@ -63,6 +65,7 @@ class EarlyFusionModel(nn.Module):
     dtype: Dtype = jnp.float32
     bn_axis_name: str | None = None
     fused_bn: bool = True
+    align_corners: bool = False
 
     @nn.compact
     def __call__(self, batch: dict, train: bool = False) -> jnp.ndarray:
@@ -77,6 +80,7 @@ class EarlyFusionModel(nn.Module):
             dtype=self.dtype,
             bn_axis_name=self.bn_axis_name,
             fused_bn=self.fused_bn,
+            align_corners=self.align_corners,
         )(x, train)
 
 
@@ -94,6 +98,7 @@ class LateFusionModel(nn.Module):
     dtype: Dtype = jnp.float32
     bn_axis_name: str | None = None
     fused_bn: bool = True
+    align_corners: bool = False
 
     @nn.compact
     def __call__(self, batch: dict, train: bool = False) -> jnp.ndarray:
@@ -143,6 +148,7 @@ class LateFusionModel(nn.Module):
             dtype=self.dtype,
             bn_axis_name=self.bn_axis_name,
             fused_bn=self.fused_bn,
+            align_corners=self.align_corners,
         )
         return decoder(fused, train)
 
