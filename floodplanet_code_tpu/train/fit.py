@@ -376,6 +376,66 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
     augment_step = make_augment_step(transform_params, ignore_index)
     eval_step = make_eval_step(model, ignore_index)
 
+    # Device-resident dataset cache (data/device_cache.py): scenes live in
+    # HBM and crops are sliced/normalized on device, shrinking the per-step
+    # host->device transfer to ~160 bytes of indices. Falls back to the
+    # threaded host loader when the dataset exceeds the byte budget or in
+    # multi-host runs (each host feeds only its slice there).
+    train_cache = valid_cache = train_builder = valid_builder = None
+    cache_bytes = int(cfg.select("tpu.device_data_bytes", 6 << 30) or 0)
+    if cache_bytes > 0 and multihost.process_count() == 1:
+        from floodplanet_code_tpu.data.device_cache import (
+            build_device_cache,
+            make_batch_builder,
+        )
+        from floodplanet_code_tpu.parallel.mesh import replicated_sharding
+
+        try:
+            stack_sharding = replicated_sharding(mesh)
+            builder_shardings = {
+                k: data_sharding[k] for k in ("image", "target", "mean", "std")
+            }
+            train_cache = build_device_cache(
+                train_dataset, cache_bytes, stack_sharding
+            )
+            if train_cache is not None:
+                train_builder = make_batch_builder(
+                    train_cache, out_shardings=builder_shardings
+                )
+                valid_cache = build_device_cache(
+                    valid_dataset, cache_bytes, stack_sharding
+                )
+                if valid_cache is not None:
+                    valid_builder = make_batch_builder(
+                        valid_cache, out_shardings=builder_shardings
+                    )
+                print(
+                    f"[fit] device data cache: "
+                    f"{(train_cache.nbytes + (valid_cache.nbytes if valid_cache else 0)) / 1e9:.2f} GB in HBM"
+                )
+        except Exception as exc:  # pragma: no cover - defensive fallback
+            print(f"[fit] device data cache unavailable ({exc}); host loader")
+            train_cache = valid_cache = None
+
+    def _device_batches(cache, builder, dataset, shuffle, drop_last, rng_np):
+        n = len(dataset)
+        order = rng_np.permutation(n) if shuffle else np.arange(n)
+        for start in range(0, n, batch_size):
+            idx = order[start : start + batch_size]
+            if len(idx) < batch_size and drop_last:
+                break
+            valid = np.ones(batch_size, bool)
+            if len(idx) < batch_size:
+                valid[len(idx) :] = False
+                idx = np.concatenate(
+                    [idx, np.zeros(batch_size - len(idx), idx.dtype)]
+                )
+            batch = builder(jnp.asarray(cache.index_rows(dataset, idx)))
+            batch["valid"] = jax.device_put(valid, data_sharding["valid"])
+            yield batch
+
+    cache_rng = np.random.default_rng(cfg.seed_num or 0)
+
     from tensorboardX import SummaryWriter
 
     from floodplanet_code_tpu.train.logging import log_image_panel
@@ -442,11 +502,18 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
         train_confusion = jnp.zeros((n_classes, n_classes), jnp.float32)
         n_train_batches = 0
         losses = []
-        for batch in device_prefetch(
-            iter(train_loader),
-            sharding=data_sharding,
-            size=cfg.select("tpu.prefetch", 2),
-        ):
+        train_batches = (
+            _device_batches(
+                train_cache, train_builder, train_dataset, True, True, cache_rng
+            )
+            if train_cache is not None
+            else device_prefetch(
+                iter(train_loader),
+                sharding=data_sharding,
+                size=cfg.select("tpu.prefetch", 2),
+            )
+        )
+        for batch in train_batches:
             if limit_train is not None and n_train_batches >= limit_train:
                 break
             rng, step_rng = jax.random.split(rng)
@@ -507,9 +574,16 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
         val_confusion = jnp.zeros((n_classes, n_classes), jnp.float32)
         val_losses = []
         n_val_batches = 0
-        for batch in device_prefetch(
-            iter(valid_loader), sharding=data_sharding, size=2
-        ):
+        val_batches = (
+            _device_batches(
+                valid_cache, valid_builder, valid_dataset, False, False, cache_rng
+            )
+            if valid_cache is not None
+            else device_prefetch(
+                iter(valid_loader), sharding=data_sharding, size=2
+            )
+        )
+        for batch in val_batches:
             if limit_val is not None and n_val_batches >= limit_val:
                 break
             logs = eval_step(state, batch)
