@@ -176,11 +176,18 @@ def make_batch_builder(cache: DeviceSceneCache, out_shardings=None):
         lbl = jnp.where(inside, lbl, ignore)
         return img, lbl, mean.reshape(1, 1, -1), std.reshape(1, 1, -1)
 
+    # The stacks are jit *arguments*, not closure captures: closed-over
+    # concrete arrays get baked into the HLO as literals, which ships the
+    # whole 0.9 GB stack to the compiler (observed HTTP 413 from a remote
+    # compile service).
     @partial(jax.jit, out_shardings=out_shardings)
-    def build(rows: jnp.ndarray) -> dict:
+    def build_impl(images, labels, rows: jnp.ndarray) -> dict:
         img, lbl, mean, std = jax.vmap(one, in_axes=(None, None, 0))(
-            cache.images, cache.labels, rows
+            images, labels, rows
         )
         return {"image": img, "target": lbl, "mean": mean, "std": std}
+
+    def build(rows):
+        return build_impl(cache.images, cache.labels, rows)
 
     return build
