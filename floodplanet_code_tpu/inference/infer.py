@@ -81,6 +81,9 @@ def infer(
             batch_size=batch_size,
             n_workers=n_workers or cfg.n_workers,
             data_sharding=batch_sharding(mesh),
+            device_data_bytes=int(
+                cfg.select("tpu.device_data_bytes", 6 << 30) or 0
+            ),
         ),
         total=n_scenes,
         desc="infer scenes",

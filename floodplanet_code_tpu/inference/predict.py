@@ -186,6 +186,9 @@ def predict(
             n_workers=n_workers or cfg.n_workers,
             data_sharding=data_sharding,
             collect_extras=True,
+            device_data_bytes=int(
+                cfg.select("tpu.device_data_bytes", 6 << 30) or 0
+            ),
         ),
         total=n_scenes,
         desc="predict scenes",

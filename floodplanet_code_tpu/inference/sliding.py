@@ -45,6 +45,66 @@ def make_predict_step(model):
     return predict_step
 
 
+def _device_cache_batches(
+    dataset, batch_size: int, device_data_bytes: int, data_sharding=None
+):
+    """Index-driven batches from the HBM scene cache (data/device_cache.py):
+    per-batch host->device traffic is ~160 bytes of crop indices instead of
+    ~8 MB of pixels — the same 18x real-data win as training. Returns None
+    when the dataset does not fit (caller uses the host loader)."""
+    import jax
+
+    from floodplanet_code_tpu.data.device_cache import (
+        build_device_cache,
+        make_batch_builder,
+    )
+
+    try:
+        cache = build_device_cache(dataset, device_data_bytes)
+    except Exception:
+        return None  # e.g. unlabeled scenes without label rasters
+    if cache is None:
+        return None
+    out_shardings = None
+    if data_sharding is not None:
+        pick = (
+            data_sharding.get if isinstance(data_sharding, dict)
+            else lambda k, d=None: data_sharding
+        )
+        out_shardings = {
+            k: pick(k) for k in ("image", "target", "mean", "std")
+        }
+        if any(s is None for s in out_shardings.values()):
+            out_shardings = None
+    builder = make_batch_builder(cache, out_shardings=out_shardings)
+
+    def batches():
+        n = len(dataset)
+        for start in range(0, n, batch_size):
+            idx = np.arange(start, min(start + batch_size, n))
+            valid = np.ones(batch_size, bool)
+            if len(idx) < batch_size:
+                valid[len(idx):] = False
+                idx = np.concatenate(
+                    [idx, np.zeros(batch_size - len(idx), idx.dtype)]
+                )
+            batch = builder(jnp.asarray(cache.index_rows(dataset, idx)))
+            batch["valid"] = jax.device_put(valid)
+            batch["metadata"] = [
+                {
+                    "image_path": dataset.dataset[i].image_path,
+                    "crop_params": dataset.dataset[i].crop_params,
+                    "region_name": dataset.dataset[i].region_name,
+                }
+                if ok
+                else None
+                for i, ok in zip(idx, valid)
+            ]
+            yield batch
+
+    return batches()
+
+
 def sliding_window_predict(
     model,
     variables: dict,
@@ -54,6 +114,7 @@ def sliding_window_predict(
     data_sharding=None,
     progress: Callable | None = None,
     collect_extras: bool = False,
+    device_data_bytes: int = 6 << 30,
 ) -> Iterator[dict]:
     """Run tiled inference over a dataset; yield per-scene results.
 
@@ -64,15 +125,6 @@ def sliding_window_predict(
         label canvas for report generation (predict.py:268-347).
     """
     dataset.output_metadata = True
-    loader = BatchLoader(
-        dataset,
-        batch_size=batch_size,
-        shuffle=False,
-        n_workers=n_workers,
-        drop_last=False,
-        output_metadata=True,
-        pad_final=True,
-    )
     predict_step = make_predict_step(model)
 
     n_classes = dataset.n_classes
@@ -87,7 +139,24 @@ def sliding_window_predict(
         key = f"{example.region_name}/{_image_name(example.image_path)}"
         tiles_remaining[key] = tiles_remaining.get(key, 0) + 1
 
-    iterator = device_prefetch(iter(loader), sharding=data_sharding, size=2)
+    iterator = (
+        _device_cache_batches(
+            dataset, batch_size, device_data_bytes, data_sharding
+        )
+        if device_data_bytes
+        else None
+    )
+    if iterator is None:
+        loader = BatchLoader(
+            dataset,
+            batch_size=batch_size,
+            shuffle=False,
+            n_workers=n_workers,
+            drop_last=False,
+            output_metadata=True,
+            pad_final=True,
+        )
+        iterator = device_prefetch(iter(loader), sharding=data_sharding, size=2)
     for batch in iterator:
         # Strip host-side metadata before entering jit.
         array_batch = {
