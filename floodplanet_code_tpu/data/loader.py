@@ -191,22 +191,49 @@ def device_prefetch(iterator, sharding=None, size: int = 2):
     q: queue.Queue = queue.Queue(maxsize=size)
     sentinel = object()
     error_holder = []
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        # Bounded put that gives up when the consumer is gone. A plain
+        # q.put() blocks FOREVER if the consumer abandons the generator
+        # (e.g. limit_train_batches breaks out mid-epoch) — each leak pins
+        # this thread plus its loader pool; across a long test session the
+        # accumulation exhausted native thread resources (SIGABRT inside
+        # XLA's eager dispatch).
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
             for batch in iterator:
-                q.put(put(batch))
+                if not _put(put(batch)):
+                    return
         except BaseException as exc:  # propagate loader errors to consumer
             error_holder.append(exc)
         finally:
-            q.put(sentinel)
+            _put(sentinel)
 
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if error_holder:
-                raise error_holder[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if error_holder:
+                    raise error_holder[0]
+                return
+            yield item
+    finally:
+        stop.set()
+        # Drain so a producer blocked on a full queue can observe `stop`.
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
+        thread.join(timeout=5.0)

@@ -103,26 +103,50 @@ def flatten_train_state(state: TrainState) -> tuple[FlatTrainState, FlatSpec]:
     return fstate, spec
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=16)
+def _jitted_unflatten(spec: FlatSpec):
+    """One compiled program for the whole unflatten.
+
+    Doing it eagerly issues hundreds of tiny slice/reshape dispatches;
+    besides being slow, that eager-op storm intermittently aborted XLA's
+    CPU client on the 8-virtual-device test mesh (SIGABRT inside
+    apply_primitive). One jitted program is one dispatch.
+    """
+
+    def go(fstate: FlatTrainState):
+        parts = spec.outer_opt_treedef.flatten_up_to(fstate.opt_state)
+        nested_parts = [
+            spec.unravel_params(p)
+            if isinstance(p, jax.Array) and p.size == spec.n_params
+            else p
+            for p in parts
+        ]
+        return (
+            spec.unravel_params(fstate.flat_params),
+            jax.tree.unflatten(spec.outer_opt_treedef, nested_parts),
+            (
+                spec.unravel_stats(fstate.flat_stats)
+                if fstate.flat_stats is not None
+                else None
+            ),
+        )
+
+    return jax.jit(go)
+
+
 def unflatten_train_state(fstate: FlatTrainState, spec: FlatSpec) -> TrainState:
     """Rebuild the nested TrainState (for eval / orbax checkpointing)."""
-    parts = spec.outer_opt_treedef.flatten_up_to(fstate.opt_state)
-    nested_parts = [
-        spec.unravel_params(p)
-        if isinstance(p, jax.Array) and p.size == spec.n_params
-        else p
-        for p in parts
-    ]
+    params, opt_state, batch_stats = _jitted_unflatten(spec)(fstate)
     return TrainState(
         step=fstate.step,
         apply_fn=spec.apply_fn,
-        params=spec.unravel_params(fstate.flat_params),
+        params=params,
         tx=spec.tx,
-        opt_state=jax.tree.unflatten(spec.outer_opt_treedef, nested_parts),
-        batch_stats=(
-            spec.unravel_stats(fstate.flat_stats)
-            if fstate.flat_stats is not None
-            else None
-        ),
+        opt_state=opt_state,
+        batch_stats=batch_stats,
     )
 
 
