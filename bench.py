@@ -121,7 +121,9 @@ def main() -> dict:
     no_aug = measure(TransformParams(False, 0, False, 0, False, 0))
     # Honest recipe number: every BASELINE.md result trains with
     # hflip/vflip/rotate at p=0.5 (reference conf/config.yaml:41-52).
-    augmented = measure(TransformParams())
+    # dtype matches fit_model's production configuration (bf16 augment
+    # feeding the bf16 train step).
+    augmented = measure(TransformParams(dtype="bfloat16"))
 
     result = {
         "metric": f"512x512 PS train tiles/sec/chip (EF-UNet bf16, {platform})",

@@ -38,6 +38,12 @@ class TransformParams:
     min_rot_angle: float = 0.0
     max_rot_angle: float = 360.0
     fill_ignore: bool = False
+    # Compute dtype for the fused rotate+flip path. The train step consumes
+    # the image in bf16 anyway, so fit_model sets this to tpu.compute_dtype
+    # — halving the augmentation program's HBM traffic. float32 default
+    # keeps bit-exact flip/rotate semantics for parity tests and callers
+    # that keep f32 pipelines.
+    dtype: str = "float32"
     # Rotation backend: "auto" (= "shear_roll", the fastest on every
     # backend), "shear_roll" (bit-decomposed static rolls), "shear"
     # (gather 3-shear), "shear_pallas" (Pallas row-shear kernel), or
@@ -135,6 +141,74 @@ def augment_batch(
 
     label_fill = float(ignore_index) if params.fill_ignore else 0.0
 
+    rotate_impl = params.rotate_impl
+    if rotate_impl == "auto":
+        # Bit-decomposed static-roll shear: fastest measured backend on
+        # TPU (14.4 ms vs 59.4 Pallas vs 110 gather, 8x512^2x6) and pure
+        # XLA, so it is the default everywhere.
+        rotate_impl = "shear_roll"
+    if params.rotate_active and image.shape[1] != image.shape[2]:
+        # Quarter-turn reduction needs square tiles; non-square crops
+        # fall back to the direct-bilinear path — a large perf cliff
+        # (gather-based resampling), so say so once per shape.
+        import warnings
+
+        warnings.warn(
+            f"rotation of non-square crops {image.shape[1]}x"
+            f"{image.shape[2]} uses the slow map_coordinates path "
+            "(~50 ms/tile on TPU); use square crops for the fast "
+            "shear-roll backend",
+            stacklevel=2,
+        )
+        rotate_impl = "map_coordinates"
+
+    if params.rotate_active and rotate_impl in (
+        "shear",
+        "shear_pallas",
+        "shear_roll",
+    ):
+        # Fused flips + rotation: the flips ride the shear-rotation's
+        # dihedral pass for free (ops/rotate.rotate_flip_batch), and the
+        # whole program runs in ``params.dtype`` — bf16 halves its HBM
+        # traffic while the train step consumes bf16 anyway.
+        from floodplanet_code_tpu.ops.rotate import rotate_flip_batch
+
+        impl = {
+            "shear": "gather",
+            "shear_pallas": "pallas",
+            "shear_roll": "roll",
+        }[rotate_impl]
+        dt = jnp.bfloat16 if params.dtype == "bfloat16" else jnp.float32
+        angles_deg = angles * (180.0 / jnp.pi)
+        # Single pass over [image | label | validity]: the label channel
+        # resamples nearest-neighbor, the validity channel marks
+        # rotated-out regions for the label fill. Label values and the 0/1
+        # validity are small ints — exact in bf16.
+        n_img = image.shape[-1]
+        combined = jnp.concatenate(
+            [
+                image.astype(dt),
+                target[..., None].astype(dt),
+                jnp.ones(target.shape + (1,), dt),
+            ],
+            axis=-1,
+        )
+        rotated = rotate_flip_batch(
+            combined,
+            angles_deg,
+            do_h,
+            do_v,
+            order=1,
+            cval=0.0,
+            impl=impl,
+            nearest_from=n_img,
+        )
+        image = rotated[..., :n_img]
+        inside = rotated[..., n_img + 1] > 0.5
+        tgt_f = jnp.where(inside, rotated[..., n_img], dt(label_fill))
+        target = jnp.rint(tgt_f.astype(jnp.float32)).astype(target.dtype)
+        return image, target
+
     def flips(img, tgt, fh, fv):
         img = jnp.where(fh, img[:, ::-1, :], img)
         tgt = jnp.where(fh, tgt[:, ::-1], tgt)
@@ -144,64 +218,18 @@ def augment_batch(
 
     image, target = jax.vmap(flips)(image, target, do_h, do_v)
 
-    if params.rotate_active:
-        angles_deg = angles * (180.0 / jnp.pi)
-        rotate_impl = params.rotate_impl
-        if rotate_impl == "auto":
-            # Bit-decomposed static-roll shear: fastest measured backend on
-            # TPU (14.4 ms vs 59.4 Pallas vs 110 gather, 8x512^2x6) and pure
-            # XLA, so it is the default everywhere.
-            rotate_impl = "shear_roll"
-        if image.shape[1] != image.shape[2]:
-            # Quarter-turn reduction needs square tiles; non-square crops
-            # fall back to the direct-bilinear path.
-            rotate_impl = "map_coordinates"
-        if rotate_impl in ("shear", "shear_pallas", "shear_roll"):
-            from floodplanet_code_tpu.ops.rotate import rotate_batch
+    if params.rotate_active:  # map_coordinates oracle path
 
-            impl = {
-                "shear": "gather",
-                "shear_pallas": "pallas",
-                "shear_roll": "roll",
-            }[rotate_impl]
-            # Single pass over [image | label | validity]: the label channel
-            # resamples nearest-neighbor, the validity channel marks
-            # rotated-out regions for the label fill.
-            n_img = image.shape[-1]
-            combined = jnp.concatenate(
-                [
-                    image,
-                    target[..., None].astype(jnp.float32),
-                    jnp.ones(target.shape + (1,), jnp.float32),
-                ],
-                axis=-1,
-            )
-            rotated = rotate_batch(
-                combined,
-                angles_deg,
-                order=1,
-                cval=0.0,
-                impl=impl,
-                nearest_from=n_img,
-            )
-            image = rotated[..., :n_img]
-            inside = rotated[..., n_img + 1] > 0.5
-            tgt_f = jnp.where(
-                inside, rotated[..., n_img], jnp.float32(label_fill)
-            )
-            target = jnp.rint(tgt_f).astype(target.dtype)
-        else:  # map_coordinates oracle path
+        def rot(img, tgt, angle):
+            img = _rotate_one(img, angle, order=1, cval=0.0)
+            tgt_f = _rotate_one(
+                tgt[:, :, None].astype(jnp.float32),
+                angle,
+                order=0,
+                cval=label_fill,
+            )[:, :, 0]
+            return img, tgt_f.astype(tgt.dtype)
 
-            def rot(img, tgt, angle):
-                img = _rotate_one(img, angle, order=1, cval=0.0)
-                tgt_f = _rotate_one(
-                    tgt[:, :, None].astype(jnp.float32),
-                    angle,
-                    order=0,
-                    cval=label_fill,
-                )[:, :, 0]
-                return img, tgt_f.astype(tgt.dtype)
-
-            image, target = jax.vmap(rot)(image, target, angles)
+        image, target = jax.vmap(rot)(image, target, angles)
 
     return image, target

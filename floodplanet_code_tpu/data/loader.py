@@ -49,6 +49,13 @@ class BatchLoader:
         seeded epoch order, so batch counts and global example placement
         agree across processes with zero coordination traffic (multi-host
         data sharding, SURVEY.md §5.8).
+
+        Batches always have exactly ``batch_size`` examples: a short final
+        batch is either dropped (``drop_last=True``) or padded to full size
+        with duplicated examples plus a ``valid`` mask (``pad_final=True``).
+        With both flags False a ragged final batch raises ValueError — the
+        fixed global batch structure is what multi-host slicing and the
+        one-compiled-shape contract rely on; there is no ragged-batch mode.
         """
         self.dataset = dataset
         self.batch_size = batch_size

@@ -309,6 +309,21 @@ def imwrite(
         raise ValueError(f"Cannot write array with ndim={array.ndim}")
     height, width, samples = hwc.shape
 
+    # Classic TIFF carries 32-bit strip offsets: a file past 4 GB would
+    # silently truncate offsets. Fail fast (before any pixel copy) with an
+    # actionable message instead (the reference gets large-file handling
+    # from tifffile's transparent BigTIFF switch,
+    # utils/utils_image.py:530-533).
+    approx_bytes = height * width * samples * hwc.dtype.itemsize
+    if approx_bytes >= 2**32 - (1 << 20):
+        raise ValueError(
+            f"classic TIFF cannot hold {approx_bytes / 1e9:.1f} GB "
+            f"({height}x{width}x{samples} {hwc.dtype}): 32-bit strip "
+            "offsets overflow past 4 GB. Write the canvas tiled (e.g. "
+            "per-region crops), downsample, or use a narrower dtype "
+            "(uint8 masks instead of float probabilities)."
+        )
+
     kind = hwc.dtype.kind
     if kind == "b":
         hwc = hwc.astype(np.uint8)

@@ -90,8 +90,9 @@ def infer(
         unit="scene",
     ):
         probs = scene["probabilities"]
-        # argmax -> clip to binary water mask (reference infer.py:179-181).
-        mask = (probs.argmax(axis=-1) == 1).astype(np.uint8)
+        # argmax -> clip to binary water mask (reference infer.py:179-181):
+        # class-2 predictions clip to water, matching np.clip(pred, 0, 1).
+        mask = np.minimum(probs.argmax(axis=-1), 1).astype(np.uint8)
         region_dir = os.path.join(save_dir, scene["region"] + "_pred")
         os.makedirs(region_dir, exist_ok=True)
         out_path = os.path.join(region_dir, scene["image_name"] + ".tif")

@@ -12,11 +12,15 @@ inference, and writes the reference's full report layout under
   (georeferenced), ``cm.png`` confusion-matrix image, ``rgb_cm.gif``
   (predict.py:268-383)
 
-Differences from the reference: metrics come from the on-device confusion
-matrix over *stitched scenes* as well as per-crop tallies; pred_class.tif
-keeps geo tags via the native writer; no double metric update (quirk §7.6);
-the hardcoded ``predictions_PS_alldata_4`` dir name (quirk §7.8) becomes
-``predictions``.
+Differences from the reference: by default the ranked reports score each
+*stitched scene* once (every pixel counted exactly once — overlapping
+crops are not double-counted); ``--per_crop_stats`` switches to the
+reference's semantics (predict.py:236-261), ranking images/regions by the
+mean of per-crop metrics, for number-for-number reproducibility.
+``metrics.json`` always comes from the scene-level confusion matrix.
+pred_class.tif keeps geo tags via the native writer; no double metric
+update (quirk §7.6); the hardcoded ``predictions_PS_alldata_4`` dir name
+(quirk §7.8) becomes ``predictions``.
 """
 
 from __future__ import annotations
@@ -122,8 +126,14 @@ def predict(
     eval_region=None,
     eval_dataset_split: str = "test",
     n_workers: int | None = None,
+    per_crop_stats: bool = False,
 ) -> dict:
-    """Evaluate a checkpoint; returns aggregate metrics dict."""
+    """Evaluate a checkpoint; returns aggregate metrics dict.
+
+    ``per_crop_stats``: rank images/regions by the mean of per-crop
+    metrics (reference semantics, predict.py:236-261) instead of one
+    score per stitched scene.
+    """
     slice_params = generate_image_slice_object(
         cfg.crop_height, cfg.crop_width, cfg.crop_stride
     )
@@ -189,6 +199,7 @@ def predict(
             device_data_bytes=int(
                 cfg.select("tpu.device_data_bytes", 6 << 30) or 0
             ),
+            per_crop_ignore_index=ignore_index if per_crop_stats else None,
         ),
         total=n_scenes,
         desc="predict scenes",
@@ -197,9 +208,10 @@ def predict(
         probs = scene["probabilities"]  # [H, W, n_classes]
         gt = np.rint(scene["gt"]).astype(np.int32)
         pred_class = probs.argmax(axis=-1)
-        # Binary water mask: clip classes to {0,1} (infer.py:181,
-        # predict.py:305-308).
-        water_pred = (pred_class == 1).astype(np.uint8)
+        # Binary water mask: clip classes to {0,1} exactly like the
+        # reference (predict.py:305-308) — class-2 ("unknown") predictions
+        # count as WATER in the binary products, matching np.clip(pred,0,1).
+        water_pred = np.minimum(pred_class, 1).astype(np.uint8)
 
         confusion = np.asarray(
             confusion_from_preds(
@@ -210,12 +222,25 @@ def predict(
         scene_metrics = compute_metrics(
             jnp.asarray(confusion), ignore_index=ignore_index
         )
-        f1 = float(scene_metrics["F1Score"])
-        iou = float(scene_metrics["JaccardIndex"])
-        image_stats_f1[scene["image_path"]].append(f1)
-        image_stats_iou[scene["image_path"]].append(iou)
-        region_stats_f1[scene["region"]].append(f1)
-        region_stats_iou[scene["region"]].append(iou)
+        if per_crop_stats:
+            # Reference semantics: one score per crop, reports average them.
+            for crop_cm in scene["crop_confusions"]:
+                crop_metrics = compute_metrics(
+                    jnp.asarray(crop_cm), ignore_index=ignore_index
+                )
+                f1 = float(crop_metrics["F1Score"])
+                iou = float(crop_metrics["JaccardIndex"])
+                image_stats_f1[scene["image_path"]].append(f1)
+                image_stats_iou[scene["image_path"]].append(iou)
+                region_stats_f1[scene["region"]].append(f1)
+                region_stats_iou[scene["region"]].append(iou)
+        else:
+            f1 = float(scene_metrics["F1Score"])
+            iou = float(scene_metrics["JaccardIndex"])
+            image_stats_f1[scene["image_path"]].append(f1)
+            image_stats_iou[scene["image_path"]].append(iou)
+            region_stats_f1[scene["region"]].append(f1)
+            region_stats_iou[scene["region"]].append(iou)
 
         if predict_images:
             scene_dir = os.path.join(
@@ -280,6 +305,12 @@ def main(argv=None):
     parser.add_argument("--eval_region", type=str, default=None)
     parser.add_argument("--eval_dataset_split", type=str, default="test")
     parser.add_argument("--n_workers", type=int, default=None)
+    parser.add_argument(
+        "--per_crop_stats",
+        action="store_true",
+        help="Rank images/regions by mean per-crop metrics (reference "
+        "predict.py semantics) instead of one score per stitched scene.",
+    )
     args = parser.parse_args(argv)
 
     # Experiment dir = two levels above the checkpoint dir
@@ -298,6 +329,7 @@ def main(argv=None):
         eval_region=args.eval_region,
         eval_dataset_split=args.eval_dataset_split,
         n_workers=args.n_workers,
+        per_crop_stats=args.per_crop_stats,
     )
     print(json.dumps(metrics, indent=2))
     return metrics

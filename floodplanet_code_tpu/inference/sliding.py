@@ -28,6 +28,7 @@ from floodplanet_code_tpu.inference.stitcher import (
     DeviceStitcher,
     make_tile_valid_mask,
 )
+from floodplanet_code_tpu.ops.metrics import confusion_from_preds
 
 
 def make_predict_step(model):
@@ -115,6 +116,7 @@ def sliding_window_predict(
     progress: Callable | None = None,
     collect_extras: bool = False,
     device_data_bytes: int = 6 << 30,
+    per_crop_ignore_index: int | None = None,
 ) -> Iterator[dict]:
     """Run tiled inference over a dataset; yield per-scene results.
 
@@ -123,15 +125,35 @@ def sliding_window_predict(
         averaged softmax), and optionally (collect_extras) the stitched
         ``rgb`` [H,W,C_in] un-normalized input canvas and ``gt`` [H,W]
         label canvas for report generation (predict.py:268-347).
+
+    ``per_crop_ignore_index``: when set, every scene result also carries
+    ``crop_confusions`` [n_tiles, C, C] — one confusion matrix per crop as
+    the model saw it (ragged-edge mask applied, this ignore_index dropped).
+    This reproduces the reference's per-crop metric tallies
+    (predict.py:236-261), where ranked image/region reports average
+    per-crop scores rather than scoring each stitched scene once.
     """
-    dataset.output_metadata = True
     predict_step = make_predict_step(model)
+
+    tile_cms = None
+    if per_crop_ignore_index is not None:
+        n_cls = dataset.n_classes
+
+        @jax.jit
+        def tile_cms(probs_, target_, mask_):
+            preds_ = jnp.argmax(probs_, axis=-1)
+            return jax.vmap(
+                lambda p, t, m: confusion_from_preds(
+                    p, t, n_cls, per_crop_ignore_index, m
+                )
+            )(preds_, target_, mask_)
 
     n_classes = dataset.n_classes
     pred_stitcher = DeviceStitcher(n_classes)
     extra_stitchers: dict[str, DeviceStitcher] = {}
     scene_info: dict[str, dict] = {}
     tiles_remaining: dict[str, int] = {}
+    crop_cms: dict[str, list] = {}
 
     # Pre-count tiles per scene so finished scenes can be finalized (and
     # freed) as soon as their last tile lands.
@@ -209,6 +231,15 @@ def sliding_window_predict(
                 valid_mask,
                 geo_from=md0["image_path"],
             )
+            if tile_cms is not None:
+                cms = np.asarray(
+                    tile_cms(
+                        jnp.take(probs, sel, axis=0),
+                        jnp.take(batch["target"], sel, axis=0),
+                        valid_mask,
+                    )
+                )
+                crop_cms.setdefault(key, []).append(cms)
             if collect_extras:
                 if "rgb" not in extra_stitchers:
                     extra_stitchers["rgb"] = DeviceStitcher(
@@ -236,6 +267,10 @@ def sliding_window_predict(
                 info = scene_info.pop(key)
                 result = dict(info)
                 result["probabilities"] = pred_stitcher.pop_combined(key)
+                if tile_cms is not None:
+                    result["crop_confusions"] = np.concatenate(
+                        crop_cms.pop(key), axis=0
+                    )
                 if collect_extras:
                     result["rgb"] = extra_stitchers["rgb"].pop_combined(key)
                     result["gt"] = extra_stitchers["gt"].pop_combined(key)[:, :, 0]

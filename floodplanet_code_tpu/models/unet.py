@@ -112,16 +112,32 @@ class DoubleConv(nn.Module):
 
 
 class Down(nn.Module):
-    """maxpool(2) then DoubleConv (reference unet.py:23-32)."""
+    """maxpool(2) then DoubleConv (reference unet.py:23-32).
+
+    ``pool_impl``: 'xla' (default) is nn.max_pool. 'quadrant' is the
+    hand-VJP strided-quadrant pool (ops/pool.py) — measured SLOWER in the
+    full model on v5e (whole-model fwd+bwd 102 vs 90 ms; the strided
+    slices and interleave relayouts cost more than SelectAndScatter, see
+    PERF.md round 3). Kept as the documented negative result; gradients
+    are identical either way, including tie order.
+    """
 
     out_channels: int
     dtype: Dtype = jnp.float32
     bn_axis_name: str | None = None
     fused_bn: bool = True
+    pool_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
+        if self.pool_impl == "quadrant" and not (
+            x.shape[1] % 2 or x.shape[2] % 2
+        ):
+            from floodplanet_code_tpu.ops.pool import max_pool_2x2
+
+            x = max_pool_2x2(x)
+        else:
+            x = nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
         return DoubleConv(
             self.out_channels,
             dtype=self.dtype,
@@ -130,11 +146,18 @@ class Down(nn.Module):
         )(x, train)
 
 
-def _upsample2x(x: jnp.ndarray, align_corners: bool = False) -> jnp.ndarray:
+def _upsample2x(
+    x: jnp.ndarray, align_corners: bool = False, impl: str = "resize"
+) -> jnp.ndarray:
     """Bilinear 2x upsample (reference nn.Upsample(bilinear), unet.py:43-45).
 
-    ``align_corners=False`` (default) is jax.image.resize's half-pixel
-    convention — the fast path every model trained in this framework uses.
+    ``align_corners=False`` (default) is the half-pixel convention.
+    ``impl='resize'`` (default) is jax.image.resize — its dense [2H,H]
+    interpolation matmuls ride the MXU and measured FASTER in the full
+    model than the 2-tap elementwise stencil (``impl='stencil'``,
+    whole-model fwd+bwd 100 vs 90 ms on v5e; the stencil's stack+reshape
+    interleave relayouts dominate — PERF.md round 3). The stencil is kept
+    as the documented negative result; both are numerically identical.
     ``align_corners=True`` reproduces torch's
     ``nn.Upsample(align_corners=True)`` exactly (needed for bit-faithful
     inference from checkpoints imported with
@@ -143,6 +166,8 @@ def _upsample2x(x: jnp.ndarray, align_corners: bool = False) -> jnp.ndarray:
     """
     b, h, w, c = x.shape
     if not align_corners:
+        if impl == "stencil":
+            return _upsample2x_stencil(x)
         return jax.image.resize(
             x, (b, 2 * h, 2 * w, c), method="linear"
         ).astype(x.dtype)
@@ -150,6 +175,35 @@ def _upsample2x(x: jnp.ndarray, align_corners: bool = False) -> jnp.ndarray:
     aw = jnp.asarray(_align_corners_matrix(w, 2 * w), x.dtype)
     out = jnp.einsum("oh,bhwc->bowc", ah, x)
     return jnp.einsum("pw,bowc->bopc", aw, out).astype(x.dtype)
+
+
+def _upsample2x_stencil(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact half-pixel 2x linear upsample as a 2-tap stencil.
+
+    Matches jax.image.resize(method='linear') for the 2x ratio: source
+    coordinate of out pixel j is (j + 0.5)/2 - 0.5, i.e. even outputs
+    blend (prev, cur) at (0.25, 0.75) and odd outputs (cur, next) at
+    (0.75, 0.25), clamped at the edges.
+    """
+
+    def axis_up(v: jnp.ndarray, axis: int) -> jnp.ndarray:
+        n = v.shape[axis]
+        first = jax.lax.slice_in_dim(v, 0, 1, axis=axis)
+        last = jax.lax.slice_in_dim(v, n - 1, n, axis=axis)
+        prev = jnp.concatenate(
+            [first, jax.lax.slice_in_dim(v, 0, n - 1, axis=axis)], axis=axis
+        )
+        nxt = jnp.concatenate(
+            [jax.lax.slice_in_dim(v, 1, n, axis=axis), last], axis=axis
+        )
+        even = 0.25 * prev + 0.75 * v
+        odd = 0.75 * v + 0.25 * nxt
+        out = jnp.stack([even, odd], axis=axis + 1)
+        shp = list(v.shape)
+        shp[axis] = 2 * n
+        return out.reshape(shp).astype(v.dtype)
+
+    return axis_up(axis_up(x, 1), 2)
 
 
 def _align_corners_matrix(n_in: int, n_out: int) -> "np.ndarray":
@@ -195,12 +249,13 @@ class Up(nn.Module):
     bn_axis_name: str | None = None
     fused_bn: bool = True
     align_corners: bool = False
+    upsample_impl: str = "resize"
 
     @nn.compact
     def __call__(
         self, x1: jnp.ndarray, x2: jnp.ndarray, train: bool = False
     ) -> jnp.ndarray:
-        x1 = _upsample2x(x1, self.align_corners)
+        x1 = _upsample2x(x1, self.align_corners, self.upsample_impl)
         x1 = _pad_to_match(x1, x2)
         x = jnp.concatenate([x2, x1], axis=-1)
         return DoubleConv(
@@ -219,6 +274,7 @@ class UNetEncoder(nn.Module):
     dtype: Dtype = jnp.float32
     bn_axis_name: str | None = None
     fused_bn: bool = True
+    pool_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> list:
@@ -229,6 +285,7 @@ class UNetEncoder(nn.Module):
             fused_bn=self.fused_bn,
         )
         x1 = DoubleConv(bfc, **kw)(x, train)
+        kw["pool_impl"] = self.pool_impl
         x2 = Down(bfc * 2, **kw)(x1, train)
         x3 = Down(bfc * 4, **kw)(x2, train)
         x4 = Down(bfc * 8, **kw)(x3, train)
@@ -250,6 +307,7 @@ class UNetDecoder(nn.Module):
     bn_axis_name: str | None = None
     fused_bn: bool = True
     align_corners: bool = False
+    upsample_impl: str = "resize"
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
@@ -260,6 +318,7 @@ class UNetDecoder(nn.Module):
             bn_axis_name=self.bn_axis_name,
             fused_bn=self.fused_bn,
             align_corners=self.align_corners,
+            upsample_impl=self.upsample_impl,
         )
         # Bilinear variant: each Up halves channels; mid = in_channels // 2
         # (reference DoubleConv(in, out, in//2), unet.py:46).
@@ -285,6 +344,8 @@ class UNet(nn.Module):
     bn_axis_name: str | None = None
     fused_bn: bool = True
     align_corners: bool = False
+    pool_impl: str = "xla"
+    upsample_impl: str = "resize"
 
     def setup(self):
         self.encoder = UNetEncoder(
@@ -292,6 +353,7 @@ class UNet(nn.Module):
             dtype=self.dtype,
             bn_axis_name=self.bn_axis_name,
             fused_bn=self.fused_bn,
+            pool_impl=self.pool_impl,
         )
         self.decoder = UNetDecoder(
             n_classes=self.n_classes,
@@ -300,6 +362,7 @@ class UNet(nn.Module):
             bn_axis_name=self.bn_axis_name,
             fused_bn=self.fused_bn,
             align_corners=self.align_corners,
+            upsample_impl=self.upsample_impl,
         )
 
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:

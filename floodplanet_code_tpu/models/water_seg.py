@@ -44,6 +44,8 @@ class WaterSegModel(nn.Module):
     bn_axis_name: str | None = None
     fused_bn: bool = True
     align_corners: bool = False
+    pool_impl: str = "xla"
+    upsample_impl: str = "resize"
 
     @nn.compact
     def __call__(self, batch: dict, train: bool = False) -> jnp.ndarray:
@@ -54,6 +56,8 @@ class WaterSegModel(nn.Module):
             bn_axis_name=self.bn_axis_name,
             fused_bn=self.fused_bn,
             align_corners=self.align_corners,
+            pool_impl=self.pool_impl,
+            upsample_impl=self.upsample_impl,
         )(batch["image"], train)
 
 
@@ -66,6 +70,8 @@ class EarlyFusionModel(nn.Module):
     bn_axis_name: str | None = None
     fused_bn: bool = True
     align_corners: bool = False
+    pool_impl: str = "xla"
+    upsample_impl: str = "resize"
 
     @nn.compact
     def __call__(self, batch: dict, train: bool = False) -> jnp.ndarray:
@@ -81,6 +87,8 @@ class EarlyFusionModel(nn.Module):
             bn_axis_name=self.bn_axis_name,
             fused_bn=self.fused_bn,
             align_corners=self.align_corners,
+            pool_impl=self.pool_impl,
+            upsample_impl=self.upsample_impl,
         )(x, train)
 
 
@@ -99,6 +107,8 @@ class LateFusionModel(nn.Module):
     bn_axis_name: str | None = None
     fused_bn: bool = True
     align_corners: bool = False
+    pool_impl: str = "xla"
+    upsample_impl: str = "resize"
 
     @nn.compact
     def __call__(self, batch: dict, train: bool = False) -> jnp.ndarray:
@@ -124,6 +134,7 @@ class LateFusionModel(nn.Module):
                 dtype=self.dtype,
                 bn_axis_name=self.bn_axis_name,
                 fused_bn=self.fused_bn,
+                pool_impl=self.pool_impl,
                 name=f"encoder_{name}",
             )
             pyramids.append(encoder(modality_input[name], train))
@@ -149,6 +160,7 @@ class LateFusionModel(nn.Module):
             bn_axis_name=self.bn_axis_name,
             fused_bn=self.fused_bn,
             align_corners=self.align_corners,
+            upsample_impl=self.upsample_impl,
         )
         return decoder(fused, train)
 

@@ -92,26 +92,35 @@ def _shear_x_gather(
     )
     g0 = jnp.where(valid0[:, :, None], g0, cval)
     g1 = jnp.where(valid1[:, :, None], g1, cval)
-    return g0 * (1.0 - frac) + g1 * frac
+    frac = frac.astype(img.dtype)
+    return g0 * (1 - frac) + g1 * frac
 
 
-def _shear_x_rolls(
+def _shear_rolls(
     img: jnp.ndarray,  # [B, H, W, C]
-    shifts: jnp.ndarray,  # [B, H] fractional pixel shifts
+    shifts: jnp.ndarray,  # [B, N_other] fractional pixel shifts per line
     order: int,
     cval: float,
     max_shift: int,
+    axis: int = 2,
     nearest_from: int | None = None,
 ) -> jnp.ndarray:
-    """ShearX as bit-decomposed static rolls — no gathers, no kernels.
+    """Shear along ``axis`` as bit-decomposed CYCLIC rolls — no gathers,
+    no kernels, no padding.
 
-    Per-row shift s(y) is applied by processing its binary digits: one
-    static ``jnp.roll`` + row-mask select per bit. Every op is a full-block
-    VPU op, so the cost is ~log2(max_shift) bandwidth passes (~10 at 512px)
-    — measured well under the Pallas row-walk kernel, and it runs on any
-    backend. Semantics identical to ``_shear_x_gather``.
+    Per-line shift s is applied by processing its binary digits: one
+    static ``jnp.roll`` + line-mask select per bit (~log2(max_shift)
+    full-bandwidth VPU passes at 512 px). Rolls wrap modulo the axis
+    length; wrapped-in positions are exactly the out-of-range sources, so
+    a fused iota-compare mask replaces them with ``cval``. This keeps
+    every pass at 1.0x the tile bytes — the earlier padded variant paid
+    1.71x per pass for the roll headroom. ``axis=1`` shears columns
+    directly (shear-Y) with no transpose round-trip.
+
+    Semantics identical to ``_shear_x_gather`` (modulo the axis swap).
     """
     b, h, w, c = img.shape
+    n = img.shape[axis]
     s_max = max(int(max_shift), 1)
     shifts = jnp.clip(shifts, -s_max, s_max)
     if order == 0:
@@ -120,25 +129,44 @@ def _shear_x_rolls(
     else:
         k = jnp.floor(shifts).astype(jnp.int32)
         frac = shifts - k.astype(jnp.float32)
-    padded = jnp.pad(
-        img, ((0, 0), (0, 0), (s_max, s_max), (0, 0)), constant_values=cval
-    )
-    s = k + s_max  # [B, H] in [0, 2*s_max]
+
+    if axis == 2:
+        expand = lambda t: t[:, :, None, None]  # [B, H] lines along W
+    elif axis == 1:
+        expand = lambda t: t[:, None, :, None]  # [B, W] lines along H
+    else:
+        raise ValueError(f"shear axis must be 1 or 2, got {axis}")
+
+    s = k + s_max  # [B, N_other] in [0, 2*s_max]
     n_bits = max(1, int(np.ceil(np.log2(2 * s_max + 1))))
-    cur = padded
+    cur = img
     for bit in range(n_bits):
-        rolled = jnp.roll(cur, -(1 << bit), axis=2)
-        take = ((s >> bit) & 1).astype(bool)[:, :, None, None]
+        rolled = jnp.roll(cur, -(1 << bit), axis=axis)
+        take = expand(((s >> bit) & 1).astype(bool))
         cur = jnp.where(take, rolled, cur)
-    # out0[y, x] = padded[y, x + s(y)]; out1 reads one further right.
-    # x <= w-1 < Wp-1, so the roll's wraparound column is never sliced.
-    nxt = jnp.roll(cur, -1, axis=2)[:, :, :w, :]
-    cur = cur[:, :, :w, :]
-    f = frac[:, :, None, None]
+    # cur[p] = img[(p + k + s_max) mod n]; undo the s_max bias statically.
+    out0 = jnp.roll(cur, s_max, axis=axis)  # img[(p + k) mod n]
+    out1 = jnp.roll(cur, s_max - 1, axis=axis)  # img[(p + k + 1) mod n]
+
+    pos = jnp.arange(n, dtype=jnp.int32)
+    if axis == 2:
+        src = pos[None, None, :] + k[:, :, None]  # [B, H, W]
+    else:
+        src = pos[None, :, None] + k[:, None, :]  # [B, H, W]
+    valid0 = (src >= 0) & (src < n)
+    valid1 = (src >= -1) & (src < n - 1)
+
+    f = expand(frac)
     if nearest_from is not None:
         chan = jnp.arange(c)[None, None, None, :]
         f = jnp.where(chan >= nearest_from, jnp.round(f), f)
-    return cur * (1.0 - f) + nxt * f
+    # Blend in the image dtype (a f32 fraction would silently promote a
+    # bf16 augmentation pipeline back to f32, doubling its HBM traffic).
+    f = f.astype(img.dtype)
+    cv = jnp.asarray(cval, img.dtype)
+    g0 = jnp.where(valid0[..., None], out0, cv)
+    g1 = jnp.where(valid1[..., None], out1, cv)
+    return g0 * (1 - f) + g1 * f
 
 
 # -- Pallas row-shear kernel -------------------------------------------------
@@ -291,8 +319,9 @@ def _shear_x_batch(
     shifts = _row_shifts(shear, h)  # [B, H]
     if impl == "roll":
         s_max = int(np.ceil(max_slope * (h - 1) / 2.0)) + 1
-        return _shear_x_rolls(
-            img, shifts, order, float(cval), s_max, nearest_from
+        return _shear_rolls(
+            img, shifts, order, float(cval), s_max, axis=2,
+            nearest_from=nearest_from,
         )
     if impl == "pallas":
         # Pad must cover the worst-case |shift|: shear_y uses b = sin(45deg)
@@ -314,6 +343,16 @@ def _shear_x_batch(
 def _shear_y_batch(
     img, shear, order, cval, impl, nearest_from=None, max_slope=0.7072
 ):
+    if impl == "roll":
+        # Shear columns in place (axis=1): per-column shifts, no transpose
+        # round-trip (the swapaxes pair costs two full relayout passes).
+        w = img.shape[2]
+        shifts = _row_shifts(shear, w)  # [B, W]
+        s_max = int(np.ceil(max_slope * (w - 1) / 2.0)) + 1
+        return _shear_rolls(
+            img, shifts, order, float(cval), s_max, axis=1,
+            nearest_from=nearest_from,
+        )
     out = _shear_x_batch(
         jnp.swapaxes(img, 1, 2), shear, order, cval, impl, nearest_from,
         max_slope,
@@ -338,6 +377,79 @@ def _quarter_turns(img: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
     r3 = jnp.flip(jnp.swapaxes(img, 1, 2), axis=2)  # 270 CCW
     k_b = k[:, None, None, None]
     return jax.lax.select_n(jnp.broadcast_to(k_b, img.shape), r0, r1, r2, r3)
+
+
+def dihedral_batch(
+    img: jnp.ndarray,  # [B, H, W, C], H == W
+    transpose: jnp.ndarray,  # [B] bool
+    flip_h: jnp.ndarray,  # [B] bool — flip axis 1 (rows)
+    flip_w: jnp.ndarray,  # [B] bool — flip axis 2 (cols)
+) -> jnp.ndarray:
+    """Per-sample dihedral-group element: transpose, then row/col flips.
+
+    Three full-bandwidth select passes — the whole D4 group (all flip x
+    quarter-turn combinations) in one shot, replacing the old
+    4-copy select_n quarter turn plus two standalone flip selects.
+    """
+    t = transpose[:, None, None, None]
+    out = jnp.where(t, jnp.swapaxes(img, 1, 2), img)
+    out = jnp.where(flip_h[:, None, None, None], jnp.flip(out, axis=1), out)
+    out = jnp.where(flip_w[:, None, None, None], jnp.flip(out, axis=2), out)
+    return out
+
+
+def rotate_flip_batch(
+    img: jnp.ndarray,  # [B, H, W, C] (H == W required)
+    angles_deg: jnp.ndarray,  # [B] CCW degrees
+    flip_h: jnp.ndarray,  # [B] bool: horizontal flip (axis 2), applied FIRST
+    flip_v: jnp.ndarray,  # [B] bool: vertical flip (axis 1), applied second
+    order: int = 1,
+    cval: float = 0.0,
+    impl: str = "roll",
+    nearest_from: int | None = None,
+) -> jnp.ndarray:
+    """hflip -> vflip -> rotate(angle), algebraically fused.
+
+    Semantically identical to flipping then calling ``rotate_batch``, but
+    the flips cost nothing extra: writing aug = R(theta) . F with
+    R(theta) = Q_k . R(r) (quarter turn + residual), and moving F left
+    through the residual rotation (R(r) . F = F . R(sigma r), sigma = -1
+    for an odd number of flips), gives
+
+        aug = (Q_k . F) . R(sigma r)
+
+    — residual 3-shear rotation on the raw image, then ONE composed
+    dihedral element (D4 group table below) for the quarter turn and both
+    flips together. The old path paid two flip selects plus a 4-copy
+    select_n; this pays three selects total.
+    """
+    if img.shape[1] != img.shape[2]:
+        raise ValueError(
+            "rotate_flip_batch requires square tiles; "
+            f"got {img.shape}"
+        )
+    angles = jnp.asarray(angles_deg, jnp.float32) % 360.0
+    k = jnp.floor((angles + 45.0) / 90.0).astype(jnp.int32) % 4
+    residual = angles - 90.0 * jnp.floor((angles + 45.0) / 90.0)
+    h = jnp.asarray(flip_h, bool)
+    v = jnp.asarray(flip_v, bool)
+    sigma = jnp.where(h ^ v, -1.0, 1.0)
+    theta = sigma * residual * (jnp.pi / 180.0)
+
+    a = -jnp.tan(theta / 2.0)
+    b = jnp.sin(theta)
+    out = _shear_x_batch(img, a, order, cval, impl, nearest_from, 0.4143)
+    out = _shear_y_batch(out, b, order, cval, impl, nearest_from, 0.7072)
+    out = _shear_x_batch(out, a, order, cval, impl, nearest_from, 0.4143)
+
+    # Composed element D = Q_k . F, canonical order transpose->flipH->flipW
+    # (flipH = axis 1, flipW = axis 2). Group table (see tests):
+    #   k=0: (0,    v,    h)      k=1: (1, ~h,    v)
+    #   k=2: (0,   ~v,   ~h)      k=3: (1,  h,   ~v)
+    t = (k % 2) == 1
+    fh = jax.lax.select_n(k, v, ~h, ~v, h)
+    fw = jax.lax.select_n(k, h, v, ~h, ~v)
+    return dihedral_batch(out, t, fh, fw)
 
 
 def rotate_batch(

@@ -31,6 +31,22 @@ import os
 import jax
 
 
+def _distributed_client_active() -> bool:
+    """True when jax.distributed.initialize() has already run.
+
+    Deliberately avoids jax.process_count(): that call initializes the XLA
+    backend as a side effect, after which jax.distributed.initialize()
+    permanently raises RuntimeError — the exact failure this module must
+    not trigger before fit_model's cluster join.
+    """
+    try:
+        from jax._src.distributed import global_state
+
+        return global_state.client is not None
+    except Exception:  # pragma: no cover - private-API drift fallback
+        return jax.process_count() > 1
+
+
 def initialize_from_env_or_config(cfg=None) -> bool:
     """Initialize jax.distributed when multi-host settings are present.
 
@@ -43,9 +59,15 @@ def initialize_from_env_or_config(cfg=None) -> bool:
 
     Returns True if an initialization was performed. Safe to call when
     single-process (returns False, no-op).
+
+    Must run before any backend-initializing JAX call (jax.devices(),
+    jax.process_count(), any computation): jax.distributed.initialize()
+    raises RuntimeError once the XLA backend exists. The
+    already-initialized check below therefore inspects the distributed
+    client directly instead of calling jax.process_count().
     """
-    if jax.process_count() > 1:
-        return False  # already initialized
+    if _distributed_client_active():
+        return False  # already initialized (e.g. by the launcher)
     block = None
     if cfg is not None:
         block = cfg.select("tpu.multihost")

@@ -107,10 +107,12 @@ def main(argv=None):
     )
     os.makedirs(args.out_dir, exist_ok=True)
     folds = []
+    summary = None
     # Resume: skip folds already recorded (preemption-safe driver).
     if os.path.exists(results_path):
         with open(results_path) as handle:
-            folds = json.load(handle).get("folds", [])
+            summary = json.load(handle)
+        folds = summary.get("folds", [])
     done = {f["region"] for f in folds}
 
     for region in args.regions:
@@ -141,7 +143,9 @@ def main(argv=None):
         print(f"[crossval] {region}: best val IoU {fold['best_val_iou']} "
               f"(epoch {fold['best_epoch']}, {fold['wall_seconds']}s)")
 
-    print(json.dumps(summary, indent=2))
+    # summary stays None only when no fold ran AND no results file existed.
+    if summary is not None:
+        print(json.dumps(summary, indent=2))
 
 
 if __name__ == "__main__":

@@ -338,11 +338,16 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
         start_epoch = 0 if latest is None else latest + 1
         print(f"[fit] resumed from {manager.latest_model_path} (epoch {start_epoch})")
 
+    import dataclasses
+
     transform_params = TransformParams.from_config(cfg.transforms)
+    # Run the fused rotate+flip program in the model's compute dtype (the
+    # train step consumes bf16 anyway; halves augmentation HBM traffic).
+    transform_params = dataclasses.replace(
+        transform_params, dtype=cfg.select("tpu.compute_dtype", "bfloat16")
+    )
     if not cfg.select("tpu.use_pallas", True):
         # Force the pure-XLA gather shear over the Pallas kernel.
-        import dataclasses
-
         transform_params = dataclasses.replace(transform_params, rotate_impl="shear")
     # Flat-packed state (train/flat.py): ~6-output train step instead of
     # ~200 — reclaims ~0.3 ms/output of runtime dispatch per step on TPU.
@@ -402,8 +407,13 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
                 train_builder = make_batch_builder(
                     train_cache, out_shardings=builder_shardings
                 )
+                # The byte budget covers train + valid COMBINED: the valid
+                # cache only gets what the train stacks left over, so total
+                # HBM residency never exceeds tpu.device_data_bytes.
                 valid_cache = build_device_cache(
-                    valid_dataset, cache_bytes, stack_sharding
+                    valid_dataset,
+                    max(0, cache_bytes - train_cache.nbytes),
+                    stack_sharding,
                 )
                 if valid_cache is not None:
                     valid_builder = make_batch_builder(
@@ -546,7 +556,7 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
                 log_image_panel(
                     writer,
                     f"train_s{global_step}",
-                    np.asarray(batch["image"][0]),
+                    np.asarray(batch["image"][0], np.float32),
                     np.asarray(batch["mean"][0]),
                     np.asarray(batch["std"][0]),
                     np.asarray(logits[0]),
@@ -630,6 +640,9 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
         # Collective: orbax synchronizes all hosts inside save (the
         # coordinator alone writes the side files / retention deletes).
         manager.save(state, epoch, monitored)
+        # Epoch-end barrier: keeps fast workers from racing ahead of (or
+        # exiting before) the coordinator's non-collective side writes.
+        multihost.sync(f"epoch_{epoch}")
 
     writer.close()
     return manager.best_model_path or ""

@@ -94,6 +94,7 @@ def test_byte_budget_fallback(s1_dataset):
     assert build_device_cache(s1_dataset, max_bytes=1000) is None
 
 
+@pytest.mark.slow
 def test_fit_uses_device_cache(tmp_path, synthetic_csdap_root, capsys):
     from floodplanet_code_tpu.config import compose
     from floodplanet_code_tpu.train.fit import fit_model

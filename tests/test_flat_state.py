@@ -154,6 +154,7 @@ def test_flat_step_sharded_mesh():
     assert 0 < total <= 8 * 32 * 32
 
 
+@pytest.mark.slow
 def test_fit_model_flat_vs_nested(tmp_path, synthetic_csdap_root):
     """One fit epoch with tpu.flat_state on/off lands the same val metric."""
     import json

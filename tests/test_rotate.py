@@ -202,3 +202,79 @@ class TestAugmentWithShear:
         b, _ = augment_batch(jax.random.key(3), image, target, p_oracle, 0)
         diff = np.abs(np.asarray(a) - np.asarray(b))[:, 8:-8, 8:-8]
         assert diff.mean() < 5e-3
+
+
+class TestRotateFlipFusion:
+    """rotate_flip_batch must equal flip-then-rotate_batch (the dihedral
+    group algebra in ops/rotate.py: aug = (Q_k . F) . R(sigma r))."""
+
+    @pytest.mark.parametrize("impl", ["roll", "gather"])
+    def test_exact_at_quarter_angles(self, rng, impl):
+        # Residual-zero angles: the shears are identity, so the fused
+        # dihedral must equal flip-then-rotate BIT-exactly.
+        from floodplanet_code_tpu.ops.rotate import rotate_flip_batch
+
+        img = jnp.asarray(rng.random((4, 32, 32, 3)).astype(np.float32))
+        fh = jnp.asarray([False, True, False, True])
+        fv = jnp.asarray([False, False, True, True])
+        flipped = jnp.where(fh[:, None, None, None], img[:, :, ::-1, :], img)
+        flipped = jnp.where(
+            fv[:, None, None, None], flipped[:, ::-1, :, :], flipped
+        )
+        for angle in [0.0, 90.0, 180.0, 270.0]:
+            angles = jnp.full((4,), angle)
+            want = np.asarray(rotate_batch(flipped, angles, impl=impl))
+            got = np.asarray(rotate_flip_batch(img, angles, fh, fv, impl=impl))
+            np.testing.assert_array_equal(got, want, err_msg=f"angle={angle}")
+
+    @pytest.mark.parametrize("impl", ["roll", "gather"])
+    def test_matches_flip_then_rotate_smooth(self, rng, impl):
+        # Residual angles: the fused form applies the 3-shear before the
+        # dihedral (aug = (Q_k.F).R(sigma r)) — for odd quarter turns that
+        # is the transposed-order shear decomposition, an equally valid
+        # approximation of the same ideal rotation but not bit-identical.
+        # Compare on a smooth image with an interior-mean tolerance, like
+        # the oracle tests above.
+        from floodplanet_code_tpu.ops.rotate import rotate_flip_batch
+
+        base = jnp.asarray(rng.random((48, 48)).astype(np.float32))
+        base = jax.scipy.signal.convolve2d(
+            base, jnp.ones((5, 5)) / 25, mode="same"
+        )
+        img = jnp.broadcast_to(base[None, :, :, None], (4, 48, 48, 1))
+        fh = jnp.asarray([False, True, False, True])
+        fv = jnp.asarray([False, False, True, True])
+        flipped = jnp.where(fh[:, None, None, None], img[:, :, ::-1, :], img)
+        flipped = jnp.where(
+            fv[:, None, None, None], flipped[:, ::-1, :, :], flipped
+        )
+        for angle in [33.0, 137.0, 251.0, 344.0]:
+            angles = jnp.full((4,), angle)
+            want = np.asarray(rotate_batch(flipped, angles, impl=impl))
+            got = np.asarray(rotate_flip_batch(img, angles, fh, fv, impl=impl))
+            diff = np.abs(got - want)[:, 10:-10, 10:-10]
+            assert diff.mean() < 5e-3, (angle, diff.mean())
+
+    def test_bf16_labels_exact(self, rng):
+        # bf16 fused path: label values and fill must stay exact ints.
+        params = TransformParams(
+            True, 0.7, True, 0.7, True, 1.0, 10.0, 350.0, dtype="bfloat16"
+        )
+        image = jnp.asarray(rng.standard_normal((4, 64, 64, 4)).astype(np.float32))
+        target = jnp.asarray(rng.choice([0, 1, 2], (4, 64, 64)).astype(np.int32))
+        img, tgt = augment_batch(jax.random.key(5), image, target, params, 0)
+        assert img.dtype == jnp.bfloat16
+        assert tgt.dtype == np.int32
+        assert set(np.unique(np.asarray(tgt))) <= {0, 1, 2}
+
+    def test_bf16_close_to_f32(self, rng):
+        p16 = TransformParams(True, 0.7, True, 0.7, True, 1.0, 10.0, 350.0,
+                              dtype="bfloat16")
+        p32 = TransformParams(True, 0.7, True, 0.7, True, 1.0, 10.0, 350.0)
+        image = jnp.asarray(rng.random((2, 48, 48, 2)).astype(np.float32))
+        target = jnp.zeros((2, 48, 48), jnp.int32)
+        a, ta = augment_batch(jax.random.key(9), image, target, p16, 0)
+        b, tb = augment_batch(jax.random.key(9), image, target, p32, 0)
+        assert np.abs(np.asarray(a, np.float32) - np.asarray(b)).max() < 0.03
+        # Same PRNG draws => identical geometry; labels must agree exactly.
+        np.testing.assert_array_equal(np.asarray(ta), np.asarray(tb))

@@ -62,6 +62,13 @@ class TestWindowedRead:
         with pytest.raises(IOError):
             tiff.read_window(path, 5, 5, 10, 10)
 
+    def test_over_4gb_guard(self, tmp_path):
+        # Zero-copy logical 4.9 GB canvas: the guard must fire before any
+        # pixel materialization (classic TIFF offsets are 32-bit).
+        big = np.broadcast_to(np.zeros((1, 1), np.uint8), (70000, 70000))
+        with pytest.raises(ValueError, match="32-bit strip"):
+            tiff.imwrite(str(tmp_path / "big.tif"), big)
+
 
 class TestCompression:
     @pytest.mark.parametrize(
