@@ -16,8 +16,10 @@ Semantics exactly match the host path (data/dataset.py load_example):
 range-normalized scenes, crop -> normalize_stats(norm_mode) -> pad to the
 fixed model input (zeros for image, ignore_index for target). The cache is
 used automatically by fit_model when the dataset fits the byte budget
-(``tpu.device_data_bytes``); anything it cannot express (multi-host data
-sharding, auxiliary modalities) falls back to the threaded host loader.
+(``tpu.device_data_bytes``), including multi-host runs (every host builds
+the same replicated stacks and batch order, so batch assembly is one SPMD
+program — covered by tests/test_multihost.py). Anything it cannot express
+(auxiliary modalities) falls back to the threaded host loader.
 
 No reference analog: the reference re-reads scenes from disk per tile
 (floodplanet.py:605-609); this is the TPU-native inversion of that design.
@@ -136,12 +138,19 @@ def build_device_cache(
     )
 
 
-def make_batch_builder(cache: DeviceSceneCache, out_shardings=None):
+def make_batch_builder(
+    cache: DeviceSceneCache, out_shardings=None, rows_sharding=None
+):
     """Jitted: (rows [B,5] int32) -> {image, target, mean, std} on device.
 
     Exactly replicates the host path's per-example pipeline: fixed-size
     dynamic slice, ragged-edge mask, normalize_stats semantics
     (null / global / local), zero / ignore_index padding.
+
+    ``rows_sharding``: required under multi-host — every input of a
+    multi-process jit must be a global array, so the (identical,
+    deterministically seeded) per-host row batch is placed replicated on
+    the global mesh before the call.
     """
     import jax
     import jax.numpy as jnp
@@ -188,6 +197,9 @@ def make_batch_builder(cache: DeviceSceneCache, out_shardings=None):
         return {"image": img, "target": lbl, "mean": mean, "std": std}
 
     def build(rows):
+        rows = jnp.asarray(rows)
+        if rows_sharding is not None:
+            rows = jax.device_put(rows, rows_sharding)
         return build_impl(cache.images, cache.labels, rows)
 
     return build

@@ -14,8 +14,9 @@ TPU-first choices (not a port):
 - BatchNorm statistics can be reduced over the data mesh axis
   (``axis_name='data'``) giving cross-replica SyncBN — the reference is
   single-device and never faced the BN-under-DP question (SURVEY.md §8e).
-- Bilinear upsample uses jax.image.resize(linear); pad-to-match mirrors
-  unet.py:54-66 so odd input sizes reconcile with their skip connections.
+- Bilinear 2x upsample as one dilated depthwise conv (the exact 2x kernel
+  [.25,.75,.75,.25]; fastest measured form — see _upsample2x); pad-to-match
+  mirrors unet.py:54-66 so odd input sizes reconcile with their skips.
 """
 
 from __future__ import annotations
@@ -147,17 +148,20 @@ class Down(nn.Module):
 
 
 def _upsample2x(
-    x: jnp.ndarray, align_corners: bool = False, impl: str = "resize"
+    x: jnp.ndarray, align_corners: bool = False, impl: str = "conv"
 ) -> jnp.ndarray:
     """Bilinear 2x upsample (reference nn.Upsample(bilinear), unet.py:43-45).
 
     ``align_corners=False`` (default) is the half-pixel convention.
-    ``impl='resize'`` (default) is jax.image.resize — its dense [2H,H]
-    interpolation matmuls ride the MXU and measured FASTER in the full
-    model than the 2-tap elementwise stencil (``impl='stencil'``,
-    whole-model fwd+bwd 100 vs 90 ms on v5e; the stencil's stack+reshape
-    interleave relayouts dominate — PERF.md round 3). The stencil is kept
-    as the documented negative result; both are numerically identical.
+    ``impl='conv'`` (default) computes it as ONE dilated depthwise conv
+    (kernel [.25,.75,.75,.25] x same, edge-replicated border) — measured
+    fastest in the full model (fwd+bwd 85.8 ms on v5e) because it keeps
+    the NHWC layout end to end. ``impl='resize'`` is jax.image.resize
+    (89.5 ms; its [2H,H] dot_generals materialize ~1 GB of layout copies
+    at the 512^2 level) and ``impl='stencil'`` the 2-tap elementwise form
+    (99.9 ms; stack+reshape interleave relayouts dominate) — both kept as
+    documented alternatives; all three are numerically identical
+    (PERF.md round 3).
     ``align_corners=True`` reproduces torch's
     ``nn.Upsample(align_corners=True)`` exactly (needed for bit-faithful
     inference from checkpoints imported with
@@ -168,6 +172,8 @@ def _upsample2x(
     if not align_corners:
         if impl == "stencil":
             return _upsample2x_stencil(x)
+        if impl == "conv":
+            return _upsample2x_conv(x)
         return jax.image.resize(
             x, (b, 2 * h, 2 * w, c), method="linear"
         ).astype(x.dtype)
@@ -175,6 +181,33 @@ def _upsample2x(
     aw = jnp.asarray(_align_corners_matrix(w, 2 * w), x.dtype)
     out = jnp.einsum("oh,bhwc->bowc", ah, x)
     return jnp.einsum("pw,bowc->bopc", aw, out).astype(x.dtype)
+
+
+def _upsample2x_conv(x: jnp.ndarray) -> jnp.ndarray:
+    """Half-pixel 2x linear upsample as ONE dilated depthwise conv.
+
+    The exact 2x ratio reduces bilinear resampling to the fixed separable
+    kernel [0.25, 0.75, 0.75, 0.25] applied to the 2x zero-dilated input;
+    edge-replicating by one pixel first reproduces jax.image.resize's
+    clamped borders exactly. Rationale: the resize path's [2H,H]
+    dot_generals force ~1 GB of layout copies at the 512^2 decoder level
+    (PERF.md round 3); a conv keeps the NHWC layout end to end.
+    """
+    b, h, w, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    k1 = jnp.asarray([0.25, 0.75, 0.75, 0.25], x.dtype)
+    kern = jnp.broadcast_to(
+        (k1[:, None] * k1[None, :])[:, :, None, None], (4, 4, 1, c)
+    )
+    return jax.lax.conv_general_dilated(
+        xp,
+        kern,
+        window_strides=(1, 1),
+        padding=((0, 0), (0, 0)),
+        lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+    )
 
 
 def _upsample2x_stencil(x: jnp.ndarray) -> jnp.ndarray:
@@ -249,7 +282,7 @@ class Up(nn.Module):
     bn_axis_name: str | None = None
     fused_bn: bool = True
     align_corners: bool = False
-    upsample_impl: str = "resize"
+    upsample_impl: str = "conv"
 
     @nn.compact
     def __call__(
@@ -307,7 +340,7 @@ class UNetDecoder(nn.Module):
     bn_axis_name: str | None = None
     fused_bn: bool = True
     align_corners: bool = False
-    upsample_impl: str = "resize"
+    upsample_impl: str = "conv"
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
@@ -345,7 +378,7 @@ class UNet(nn.Module):
     fused_bn: bool = True
     align_corners: bool = False
     pool_impl: str = "xla"
-    upsample_impl: str = "resize"
+    upsample_impl: str = "conv"
 
     def setup(self):
         self.encoder = UNetEncoder(

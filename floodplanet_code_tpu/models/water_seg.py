@@ -45,7 +45,7 @@ class WaterSegModel(nn.Module):
     fused_bn: bool = True
     align_corners: bool = False
     pool_impl: str = "xla"
-    upsample_impl: str = "resize"
+    upsample_impl: str = "conv"
 
     @nn.compact
     def __call__(self, batch: dict, train: bool = False) -> jnp.ndarray:
@@ -71,7 +71,7 @@ class EarlyFusionModel(nn.Module):
     fused_bn: bool = True
     align_corners: bool = False
     pool_impl: str = "xla"
-    upsample_impl: str = "resize"
+    upsample_impl: str = "conv"
 
     @nn.compact
     def __call__(self, batch: dict, train: bool = False) -> jnp.ndarray:
@@ -108,7 +108,7 @@ class LateFusionModel(nn.Module):
     fused_bn: bool = True
     align_corners: bool = False
     pool_impl: str = "xla"
-    upsample_impl: str = "resize"
+    upsample_impl: str = "conv"
 
     @nn.compact
     def __call__(self, batch: dict, train: bool = False) -> jnp.ndarray:

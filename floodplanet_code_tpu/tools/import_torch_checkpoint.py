@@ -4,8 +4,11 @@ The reference framework publishes its trained models as Lightning ``.ckpt``
 files whose ``state_dict`` holds the torch UNet weights
 (``model.inc.double_conv...``, see /root/reference/st_water_seg/models/
 unet.py:80-99 for the module tree and water_seg_model.py:14-44 for the
-Lightning wrapper). This tool maps that state_dict onto the flax
-params/batch_stats pytrees and writes a COMPLETE experiment directory —
+Lightning wrapper). Late-fusion checkpoints (``encoders.<modality>...``
+ModuleDict + ``concat_convs`` + ``decoder``, lf_model.py:31-45) are
+auto-detected and mapped onto the flax LateFusionModel. This tool maps
+the state_dict onto the flax params/batch_stats pytrees and writes a
+COMPLETE experiment directory —
 hydra config snapshot, orbax checkpoint, metrics.json/index.json side
 files — so ``predict`` / ``infer`` / ``batch_infer`` run on an imported
 model exactly as on a natively trained one. This is the migration path
@@ -39,16 +42,21 @@ import re
 import numpy as np
 
 # torch block prefix -> flax module path, in reference layer order.
-_BLOCKS = [
-    ("inc.double_conv", "encoder/DoubleConv_0"),
-    ("down1.maxpool_conv.1.double_conv", "encoder/Down_0/DoubleConv_0"),
-    ("down2.maxpool_conv.1.double_conv", "encoder/Down_1/DoubleConv_0"),
-    ("down3.maxpool_conv.1.double_conv", "encoder/Down_2/DoubleConv_0"),
-    ("down4.maxpool_conv.1.double_conv", "encoder/Down_3/DoubleConv_0"),
-    ("up1.conv.double_conv", "decoder/Up_0/DoubleConv_0"),
-    ("up2.conv.double_conv", "decoder/Up_1/DoubleConv_0"),
-    ("up3.conv.double_conv", "decoder/Up_2/DoubleConv_0"),
-    ("up4.conv.double_conv", "decoder/Up_3/DoubleConv_0"),
+_ENC_BLOCKS = [
+    ("inc.double_conv", "DoubleConv_0"),
+    ("down1.maxpool_conv.1.double_conv", "Down_0/DoubleConv_0"),
+    ("down2.maxpool_conv.1.double_conv", "Down_1/DoubleConv_0"),
+    ("down3.maxpool_conv.1.double_conv", "Down_2/DoubleConv_0"),
+    ("down4.maxpool_conv.1.double_conv", "Down_3/DoubleConv_0"),
+]
+_DEC_BLOCKS = [
+    ("up1.conv.double_conv", "Up_0/DoubleConv_0"),
+    ("up2.conv.double_conv", "Up_1/DoubleConv_0"),
+    ("up3.conv.double_conv", "Up_2/DoubleConv_0"),
+    ("up4.conv.double_conv", "Up_3/DoubleConv_0"),
+]
+_BLOCKS = [(t, "encoder/" + f) for t, f in _ENC_BLOCKS] + [
+    (t, "decoder/" + f) for t, f in _DEC_BLOCKS
 ]
 # Within a torch DoubleConv Sequential: [0]=conv, [1]=bn, [3]=conv, [4]=bn.
 _PAIRS = [("0", "1", "Conv_0", "BatchNorm_0"), ("3", "4", "Conv_1", "BatchNorm_1")]
@@ -63,13 +71,15 @@ def load_state_dict(ckpt_path: str) -> dict:
     return {k: np.asarray(v.detach().cpu().numpy()) for k, v in state.items()}
 
 
-def convert_unet_state_dict(
-    state: dict, root: str = "UNet_0"
-) -> tuple[dict, dict, int, int]:
-    """torch UNet state_dict -> (params, batch_stats, in_channels, n_classes).
+def _setpath(tree: dict, path: str, value: np.ndarray) -> None:
+    parts = path.split("/")
+    node = tree
+    for part in parts[:-1]:
+        node = node.setdefault(part, {})
+    node[parts[-1]] = value.astype(np.float32)
 
-    Accepts keys with or without the Lightning wrapper's ``model.`` prefix.
-    """
+
+def _make_get(state: dict, what: str):
     prefix = "model." if any(k.startswith("model.") for k in state) else ""
 
     def get(key: str) -> np.ndarray:
@@ -78,43 +88,115 @@ def convert_unet_state_dict(
         except KeyError:
             raise KeyError(
                 f'checkpoint key "{prefix + key}" not found — is this a '
-                "reference WaterSegmentationModel/UNet checkpoint?"
+                f"reference {what} checkpoint?"
             )
 
-    def setpath(tree: dict, path: str, value: np.ndarray) -> None:
-        parts = (root + "/" + path).split("/")
-        node = tree
-        for part in parts[:-1]:
-            node = node.setdefault(part, {})
-        node[parts[-1]] = value.astype(np.float32)
+    return get, prefix
+
+
+def _convert_double_conv(get, params, stats, tprefix, fprefix) -> None:
+    """One torch DoubleConv Sequential -> flax DoubleConv params/stats."""
+    for conv_i, bn_i, conv_name, bn_name in _PAIRS:
+        kernel = get(f"{tprefix}.{conv_i}.weight")  # OIHW
+        conv_bias = get(f"{tprefix}.{conv_i}.bias")
+        _setpath(
+            params, f"{fprefix}/{conv_name}/kernel",
+            kernel.transpose(2, 3, 1, 0),
+        )
+        _setpath(params, f"{fprefix}/{bn_name}/scale",
+                 get(f"{tprefix}.{bn_i}.weight"))
+        _setpath(params, f"{fprefix}/{bn_name}/bias",
+                 get(f"{tprefix}.{bn_i}.bias"))
+        # Fold the conv bias into the BN running mean (see module doc).
+        _setpath(stats, f"{fprefix}/{bn_name}/mean",
+                 get(f"{tprefix}.{bn_i}.running_mean") - conv_bias)
+        _setpath(stats, f"{fprefix}/{bn_name}/var",
+                 get(f"{tprefix}.{bn_i}.running_var"))
+
+
+def convert_unet_state_dict(
+    state: dict, root: str = "UNet_0"
+) -> tuple[dict, dict, int, int]:
+    """torch UNet state_dict -> (params, batch_stats, in_channels, n_classes).
+
+    Accepts keys with or without the Lightning wrapper's ``model.`` prefix.
+    """
+    get, prefix = _make_get(state, "WaterSegmentationModel/UNet")
 
     params: dict = {}
     stats: dict = {}
     for tprefix, fprefix in _BLOCKS:
-        for conv_i, bn_i, conv_name, bn_name in _PAIRS:
-            kernel = get(f"{tprefix}.{conv_i}.weight")  # OIHW
-            conv_bias = get(f"{tprefix}.{conv_i}.bias")
-            setpath(
-                params, f"{fprefix}/{conv_name}/kernel",
-                kernel.transpose(2, 3, 1, 0),
-            )
-            setpath(params, f"{fprefix}/{bn_name}/scale",
-                    get(f"{tprefix}.{bn_i}.weight"))
-            setpath(params, f"{fprefix}/{bn_name}/bias",
-                    get(f"{tprefix}.{bn_i}.bias"))
-            # Fold the conv bias into the BN running mean (see module doc).
-            setpath(stats, f"{fprefix}/{bn_name}/mean",
-                    get(f"{tprefix}.{bn_i}.running_mean") - conv_bias)
-            setpath(stats, f"{fprefix}/{bn_name}/var",
-                    get(f"{tprefix}.{bn_i}.running_var"))
+        _convert_double_conv(get, params, stats, tprefix, f"{root}/{fprefix}")
 
     out_kernel = get("outc.conv.weight")  # [n_classes, 64, 1, 1]
-    setpath(params, "decoder/Conv_0/kernel", out_kernel.transpose(2, 3, 1, 0))
-    setpath(params, "decoder/Conv_0/bias", get("outc.conv.bias"))
+    _setpath(params, f"{root}/decoder/Conv_0/kernel",
+             out_kernel.transpose(2, 3, 1, 0))
+    _setpath(params, f"{root}/decoder/Conv_0/bias", get("outc.conv.bias"))
 
     in_channels = int(state[prefix + "inc.double_conv.0.weight"].shape[1])
     n_classes = int(out_kernel.shape[0])
     return params, stats, in_channels, n_classes
+
+
+def convert_lf_state_dict(state: dict) -> tuple[dict, dict, dict, int]:
+    """torch LateFusionModel state_dict -> (params, batch_stats,
+    in_channels_dict, n_classes).
+
+    Reference module tree (lf_model.py:31-45): ``encoders.<modality>``
+    ModuleDict of UNetEncoders, ``concat_convs.<i>`` 1x1 fuse convs,
+    ``decoder`` UNetDecoder. The flax tree (models/water_seg.py
+    LateFusionModel) maps modality-for-modality; concat channel order is
+    ms_image first then AUX_FEATURE_KEYS order, exactly the reference's
+    forward() concatenation order (lf_model.py:59-83).
+    """
+    from floodplanet_code_tpu.models.water_seg import AUX_FEATURE_KEYS
+
+    get, prefix = _make_get(state, "LateFusionModel")
+
+    present = {
+        k[len(prefix) + len("encoders."):].split(".")[0]
+        for k in state
+        if k.startswith(prefix + "encoders.")
+    }
+    modalities = [
+        m for m in ("ms_image", *AUX_FEATURE_KEYS) if m in present
+    ]
+    unknown = present - set(modalities)
+    if unknown:
+        raise KeyError(f"unrecognized late-fusion modalities: {sorted(unknown)}")
+
+    params: dict = {}
+    stats: dict = {}
+    in_channels: dict = {}
+    for mod in modalities:
+        for tprefix, fprefix in _ENC_BLOCKS:
+            _convert_double_conv(
+                get, params, stats,
+                f"encoders.{mod}.{tprefix}", f"encoder_{mod}/{fprefix}",
+            )
+        in_channels[mod] = int(
+            get(f"encoders.{mod}.inc.double_conv.0.weight").shape[1]
+        )
+
+    n_fuse = len([
+        k for k in state
+        if k.startswith(prefix + "concat_convs.") and k.endswith(".weight")
+    ])
+    for i in range(n_fuse):
+        w = get(f"concat_convs.{i}.weight")  # [out, in, 1, 1]
+        _setpath(params, f"concat_conv_{i}/kernel", w.transpose(2, 3, 1, 0))
+        _setpath(params, f"concat_conv_{i}/bias", get(f"concat_convs.{i}.bias"))
+
+    for tprefix, fprefix in _DEC_BLOCKS:
+        _convert_double_conv(
+            get, params, stats, f"decoder.{tprefix}", f"UNetDecoder_0/{fprefix}"
+        )
+    out_kernel = get("decoder.outc.conv.weight")
+    _setpath(params, "UNetDecoder_0/Conv_0/kernel",
+             out_kernel.transpose(2, 3, 1, 0))
+    _setpath(params, "UNetDecoder_0/Conv_0/bias", get("decoder.outc.conv.bias"))
+
+    return params, stats, in_channels, int(out_kernel.shape[0])
 
 
 def import_checkpoint(
@@ -135,7 +217,19 @@ def import_checkpoint(
     from floodplanet_code_tpu.train.state import create_train_state
 
     state_dict = load_state_dict(ckpt_path)
-    params, stats, in_channels, n_classes = convert_unet_state_dict(state_dict)
+    is_lf = any(
+        k.split("model.", 1)[-1].startswith("encoders.") for k in state_dict
+    )
+    if is_lf:
+        params, stats, in_channels_dict, n_classes = convert_lf_state_dict(
+            state_dict
+        )
+        model_name = "lf_model"
+    else:
+        params, stats, in_channels, n_classes = convert_unet_state_dict(
+            state_dict
+        )
+        in_channels_dict = {"ms_image": in_channels}
 
     cfg = compose(
         overrides=[
@@ -152,12 +246,19 @@ def import_checkpoint(
 
     model = build_model(
         model_name,
-        {"ms_image": in_channels},
+        in_channels_dict,
         n_classes,
         dtype=jnp.float32,
         align_corners=True,
     )
-    example = {"image": np.zeros((1, 64, 64, in_channels), np.float32)}
+    example = {
+        "image": np.zeros(
+            (1, 64, 64, in_channels_dict["ms_image"]), np.float32
+        )
+    }
+    for mod, c in in_channels_dict.items():
+        if mod != "ms_image":
+            example[mod] = np.zeros((1, 64, 64, c), np.float32)
     state = create_train_state(
         model, example, lr=cfg.lr, optimizer_name=cfg.optimizer
     )

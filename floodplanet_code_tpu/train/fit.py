@@ -384,11 +384,14 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
     # Device-resident dataset cache (data/device_cache.py): scenes live in
     # HBM and crops are sliced/normalized on device, shrinking the per-step
     # host->device transfer to ~160 bytes of indices. Falls back to the
-    # threaded host loader when the dataset exceeds the byte budget or in
-    # multi-host runs (each host feeds only its slice there).
+    # threaded host loader when the dataset exceeds the byte budget.
+    # Multi-host: every host builds the SAME replicated scene stacks and
+    # the same deterministic batch order, so the jitted builder runs as one
+    # SPMD program with replicated inputs and dp-sharded outputs — pod runs
+    # keep the on-device data path (no per-step host->device pixel traffic).
     train_cache = valid_cache = train_builder = valid_builder = None
     cache_bytes = int(cfg.select("tpu.device_data_bytes", 6 << 30) or 0)
-    if cache_bytes > 0 and multihost.process_count() == 1:
+    if cache_bytes > 0:
         from floodplanet_code_tpu.data.device_cache import (
             build_device_cache,
             make_batch_builder,
@@ -400,12 +403,17 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
             builder_shardings = {
                 k: data_sharding[k] for k in ("image", "target", "mean", "std")
             }
+            rows_sharding = (
+                stack_sharding if multihost.process_count() > 1 else None
+            )
             train_cache = build_device_cache(
                 train_dataset, cache_bytes, stack_sharding
             )
             if train_cache is not None:
                 train_builder = make_batch_builder(
-                    train_cache, out_shardings=builder_shardings
+                    train_cache,
+                    out_shardings=builder_shardings,
+                    rows_sharding=rows_sharding,
                 )
                 # The byte budget covers train + valid COMBINED: the valid
                 # cache only gets what the train stacks left over, so total
@@ -417,7 +425,9 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
                 )
                 if valid_cache is not None:
                     valid_builder = make_batch_builder(
-                        valid_cache, out_shardings=builder_shardings
+                        valid_cache,
+                        out_shardings=builder_shardings,
+                        rows_sharding=rows_sharding,
                     )
                 print(
                     f"[fit] device data cache: "

@@ -42,16 +42,27 @@ def main(path: str) -> None:
         return
     body = m.group(1)
 
-    # instruction lines: "%name = <type> opcode(...)"
-    inst_re = re.compile(
-        r"^\s*(?:ROOT\s+)?([%\w.\-]+)\s*=\s*((?:\([^)]*\)|[\w\[\],{}:*\/ ]+?))\s+([\w\-]+)\(",
-        re.M,
-    )
+    # instruction lines: "%name = <type-with-layout-tiles> opcode(...)".
+    # Types may contain parens (tile specs T(8,128)) and tuple commas, so
+    # locate the opcode token (lowercase word followed by '(') and treat
+    # everything between '=' and it as the result type.
     sizes = {}
     opcodes = {}
-    for name, type_str, opcode in inst_re.findall(body):
+    op_re = re.compile(r" ([a-z][\w\-]*)\(")
+    for line in body.splitlines():
+        line = line.strip()
+        if not line.startswith(("%", "ROOT")):
+            continue
+        if " = " not in line:
+            continue
+        name, rhs = line.split(" = ", 1)
+        name = name.replace("ROOT ", "").strip()
+        m2 = op_re.search(rhs)
+        if not m2:
+            continue
+        type_str = rhs[: m2.start()]
         sizes[name] = shape_bytes(type_str)
-        opcodes[name] = opcode
+        opcodes[name] = m2.group(1)
 
     by_op = defaultdict(lambda: [0, 0])  # opcode -> [count, bytes_out]
     rows = []

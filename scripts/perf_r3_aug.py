@@ -87,7 +87,9 @@ def main():
         augment = (
             None if fuse else make_augment_step(transform_params, ignore_index=0)
         )
-        carry = {"s": fstate}
+        # The flat step donates its state input: give each pipeline its own
+        # copy or the second pipeline starts from a deleted buffer.
+        carry = {"s": jax.tree.map(jnp.copy, fstate)}
 
         def one(c):
             b = {"image": image + c, "target": target}

@@ -32,13 +32,6 @@ def main():
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    jax.distributed.initialize(
-        coordinator_address=f"localhost:{port}",
-        num_processes=num_processes,
-        process_id=process_id,
-    )
-    assert jax.process_count() == num_processes
-    assert len(jax.devices()) == 4 * num_processes, jax.devices()
 
     # exp_dir is SHARED across processes (orbax checkpointing is a
     # collective over a shared directory). The parent pre-writes
@@ -51,35 +44,56 @@ def main():
     from floodplanet_code_tpu.config import compose
     from floodplanet_code_tpu.train.fit import fit_model
 
-    cfg = compose(
-        overrides=[
-            "dataset.sensor=S1",
-            "eval_region=RegionB",
-            "n_epochs=1",
-            "crop_height=64",
-            "crop_width=64",
-            "crop_stride=64",
-            "batch_size=8",
-            "n_workers=2",
-            "limit_train_batches=3",
-            "limit_val_batches=2",
-            "transforms.rotate.active=false",
-        ]
-    )
-    best = fit_model(cfg, overwrite_exp_dir=exp_dir)
+    def make_cfg(n_epochs):
+        cfg = compose(
+            overrides=[
+                "dataset.sensor=S1",
+                "eval_region=RegionB",
+                f"n_epochs={n_epochs}",
+                "crop_height=64",
+                "crop_width=64",
+                "crop_stride=64",
+                "batch_size=8",
+                "n_workers=2",
+                "limit_train_batches=3",
+                "limit_val_batches=2",
+                "transforms.rotate.active=false",
+            ]
+        )
+        # Cluster join happens INSIDE fit_model via the tpu.multihost
+        # config block (parallel/multihost.initialize_from_env_or_config)
+        # — regression coverage for the init-before-backend ordering bug.
+        cfg.tpu["multihost"] = {
+            "coordinator_address": f"localhost:{port}",
+            "num_processes": num_processes,
+            "process_id": process_id,
+        }
+        return cfg
+
+    best = fit_model(make_cfg(1), overwrite_exp_dir=exp_dir)
+    assert jax.process_count() == num_processes
+    assert len(jax.devices()) == 4 * num_processes, jax.devices()
+
+    # Checkpoint round-trip under the 2-process cluster: the second fit
+    # must restore epoch 0's collective checkpoint on EVERY process and
+    # continue from epoch 1.
+    best2 = fit_model(make_cfg(2), overwrite_exp_dir=exp_dir)
 
     index_path = os.path.join(exp_dir, "checkpoints", "index.json")
     result = {
         "process_id": process_id,
         "process_count": jax.process_count(),
         "best_checkpoint": best,
+        "best_checkpoint_resumed": best2,
         "index_exists": os.path.exists(index_path),
     }
     if os.path.exists(index_path):
         with open(index_path) as handle:
+            entries = json.load(handle)["entries"]
             result["best_metric"] = max(
-                (e["metric"] for e in json.load(handle)["entries"]), default=None
+                (e["metric"] for e in entries), default=None
             )
+            result["epochs_seen"] = sorted({e["epoch"] for e in entries})
     print("RESULT " + json.dumps(result))
 
 

@@ -122,5 +122,14 @@ class TestTwoProcessCluster:
         assert results[0]["best_metric"] == pytest.approx(
             results[1]["best_metric"], rel=1e-5
         )
+        # Checkpoint round-trip: the second fit resumed epoch 0's
+        # collective checkpoint on every process and trained epoch 1.
+        for out in outs:
+            assert "[fit] resumed from" in out, out[-2000:]
+        assert results[0].get("epochs_seen") and 1 in results[0]["epochs_seen"]
+        # The device-resident data cache stayed on under multi-host (the
+        # SPMD batch-builder path, data/device_cache.py).
+        for out in outs:
+            assert "[fit] device data cache" in out, out[-2000:]
         # Exactly one TensorBoard log dir: the coordinator's.
         assert os.path.isdir(os.path.join(exp_dir, "tensorboard_logs"))

@@ -95,13 +95,30 @@ class TestStencilUpsample:
             np.asarray(g_ours), np.asarray(g_ref), rtol=1e-5, atol=1e-5
         )
 
-    def test_default_impl_is_resize(self, rng):
-        # Production default is jax.image.resize (measured faster in the
-        # full model; the stencil is the documented negative result).
+    def test_default_impl_matches_resize(self, rng):
+        # Production default is the dilated depthwise conv (fastest
+        # measured in the full model); it must match resize numerically.
         x = jnp.asarray(rng.standard_normal((1, 4, 4, 2)).astype(np.float32))
-        np.testing.assert_array_equal(
+        np.testing.assert_allclose(
             np.asarray(_upsample2x(x)),
             np.asarray(
                 jax.image.resize(x, (1, 8, 8, 2), method="linear")
             ),
+            rtol=1e-5,
+            atol=1e-6,
         )
+
+    @pytest.mark.parametrize("shape", [(2, 8, 8, 3), (1, 5, 7, 2)])
+    def test_conv_impl_matches_resize(self, rng, shape):
+        from floodplanet_code_tpu.models.unet import _upsample2x_conv
+
+        x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        want = np.asarray(
+            jax.image.resize(
+                x,
+                (shape[0], 2 * shape[1], 2 * shape[2], shape[3]),
+                method="linear",
+            )
+        )
+        got = np.asarray(_upsample2x_conv(x))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)

@@ -221,3 +221,173 @@ def test_end_to_end_import_cli(tmp_path):
         train=False,
     )
     assert np.isfinite(np.asarray(logits)).all()
+
+
+# ---------------------------------------------------------------------------
+# Late-fusion importer (reference lf_model.py:31-45).
+# ---------------------------------------------------------------------------
+
+
+class _TorchDoubleConv(torch.nn.Module):
+    """Key schema: <name>.double_conv.{0,1,3,4} (reference unet.py:6-20)."""
+
+    def __init__(self, cin, cmid, cout):
+        super().__init__()
+        self.double_conv = torch.nn.Sequential(
+            torch.nn.Conv2d(cin, cmid, 3, padding=1),
+            torch.nn.BatchNorm2d(cmid),
+            torch.nn.ReLU(),
+            torch.nn.Conv2d(cmid, cout, 3, padding=1),
+            torch.nn.BatchNorm2d(cout),
+            torch.nn.ReLU(),
+        )
+
+    def forward(self, x):
+        return self.double_conv(x)
+
+
+class _TorchDown(torch.nn.Module):
+    """Key schema: <name>.maxpool_conv.1.double_conv (unet.py:23-32)."""
+
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.maxpool_conv = torch.nn.Sequential(
+            torch.nn.MaxPool2d(2), _TorchDoubleConv(cin, cout, cout)
+        )
+
+    def forward(self, x):
+        return self.maxpool_conv(x)
+
+
+class _TorchEncoder(torch.nn.Module):
+    """Reference UNetEncoder contract (unet.py:134-159), inline oracle."""
+
+    def __init__(self, n_channels):
+        super().__init__()
+        self.inc = _TorchDoubleConv(n_channels, 64, 64)
+        for i, (ci, co) in enumerate(
+            [(64, 128), (128, 256), (256, 512), (512, 512)]
+        ):
+            setattr(self, f"down{i + 1}", _TorchDown(ci, co))
+
+    def forward(self, x):
+        feats = [self.inc(x)]
+        for i in range(1, 5):
+            feats.append(getattr(self, f"down{i}")(feats[-1]))
+        return feats
+
+
+class _TorchUp(torch.nn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.up = torch.nn.Upsample(
+            scale_factor=2, mode="bilinear", align_corners=True
+        )
+        self.conv = _TorchDoubleConv(cin, cin // 2, cout)
+
+    def forward(self, x1, x2):
+        x1 = self.up(x1)
+        return self.conv(torch.cat([x2, x1], dim=1))
+
+
+class _TorchDecoder(torch.nn.Module):
+    """Reference UNetDecoder contract (unet.py:162-201), inline oracle."""
+
+    def __init__(self, n_classes):
+        super().__init__()
+        self.up1 = _TorchUp(1024, 256)
+        self.up2 = _TorchUp(512, 128)
+        self.up3 = _TorchUp(256, 64)
+        self.up4 = _TorchUp(128, 64)
+        self.outc = torch.nn.Sequential()
+        self.outc.conv = torch.nn.Conv2d(64, n_classes, 1)
+
+    def forward(self, feats):
+        x1, x2, x3, x4, x5 = feats
+        x = self.up1(x5, x4)
+        x = self.up2(x, x3)
+        x = self.up3(x, x2)
+        x = self.up4(x, x1)
+        return self.outc.conv(x)
+
+
+class _TorchLF(torch.nn.Module):
+    """Reference LateFusionModel contract (lf_model.py:29-92), inline."""
+
+    def __init__(self, in_channels: dict, n_classes: int):
+        super().__init__()
+        self.encoders = torch.nn.ModuleDict(
+            {k: _TorchEncoder(c) for k, c in in_channels.items()}
+        )
+        self.decoder = _TorchDecoder(n_classes)
+        self.concat_convs = torch.nn.ModuleList(
+            [
+                torch.nn.Conv2d(fs * len(in_channels), fs, 1, 1)
+                for fs in [64, 128, 256, 512, 512]
+            ]
+        )
+
+    def forward(self, batch):
+        feats = self.encoders["ms_image"](batch["image"])
+        for name, enc in self.encoders.items():
+            if name == "ms_image":
+                continue
+            extra = enc(batch[name])
+            feats = [torch.cat([a, b], dim=1) for a, b in zip(feats, extra)]
+        fused = [cc(f) for cc, f in zip(self.concat_convs, feats)]
+        return self.decoder(fused)
+
+
+def _randomize_bn(module, rng):
+    for m in module.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.uniform_(-0.5, 0.5)
+            m.running_var.uniform_(0.5, 1.5)
+
+
+def test_lf_import_forward_parity():
+    """Full late-fusion forward: torch oracle (eval) vs imported flax model."""
+    import jax
+    import jax.numpy as jnp
+
+    from floodplanet_code_tpu.models import build_model
+    from floodplanet_code_tpu.tools.import_torch_checkpoint import (
+        convert_lf_state_dict,
+    )
+
+    torch.manual_seed(7)
+    in_channels = {"ms_image": 4, "dem": 1}
+    oracle = _TorchLF(in_channels, 3)
+    _randomize_bn(oracle, None)
+    oracle.eval()
+
+    state = {k: np.asarray(v.detach()) for k, v in oracle.state_dict().items()}
+    params, stats, got_in, n_classes = convert_lf_state_dict(state)
+    assert got_in == in_channels and n_classes == 3
+
+    model = build_model(
+        "lf_model", got_in, n_classes, dtype=jnp.float32, align_corners=True
+    )
+    rng = np.random.default_rng(11)
+    batch_np = {
+        "image": rng.standard_normal((2, 4, 32, 32)).astype(np.float32),
+        "dem": rng.standard_normal((2, 1, 32, 32)).astype(np.float32),
+    }
+    with torch.no_grad():
+        want = oracle(
+            {k: torch.from_numpy(v) for k, v in batch_np.items()}
+        ).numpy()
+
+    variables = {
+        "params": jax.tree.map(jnp.asarray, params),
+        "batch_stats": jax.tree.map(jnp.asarray, stats),
+    }
+    got = np.asarray(
+        model.apply(
+            variables,
+            {k: jnp.asarray(v.transpose(0, 2, 3, 1)) for k, v in batch_np.items()},
+            train=False,
+        )
+    ).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+    assert (got.argmax(1) == want.argmax(1)).mean() > 0.999
