@@ -98,6 +98,7 @@ def load_model_for_eval(cfg, checkpoint_path: str, dataset):
         dataset.n_channels,
         dataset.n_classes,
         dtype=compute_dtype,
+        conv_impl=cfg.select("tpu.conv_impl", "xla"),
         **(cfg.model.get("model_kwargs") or {}),
     )
     example = dataset.load_example(0, output_metadata=False)

@@ -42,10 +42,11 @@ class FusedBatchNormReLU(nn.Module):
     epsilon: float = 1e-5
     dtype: Dtype = jnp.float32
     axis_name: str | None = None
+    return_affine: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        from floodplanet_code_tpu.ops.batchnorm import bn_relu_train
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        from floodplanet_code_tpu.ops.batchnorm import _stats, bn_relu_train
 
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
@@ -56,6 +57,25 @@ class FusedBatchNormReLU(nn.Module):
         ra_var = self.variable(
             "batch_stats", "var", nn.initializers.ones, None, (c,), jnp.float32
         )
+        if self.return_affine:
+            # Fold BN into (a, b) WITHOUT applying — the consumer fuses the
+            # apply+ReLU into its own kernel (ops/conv_fused.py). Statistics
+            # stay plain jnp reductions so AD derives the exact BN backward
+            # (the custom-VJP fast path belongs to the apply, which the
+            # Pallas kernel replaces).
+            if not train or self.is_initializing():
+                mean, var = ra_mean.value, ra_var.value
+            else:
+                mean, m2 = _stats(x.astype(self.dtype), self.axis_name)
+                var = jnp.maximum(m2 - jnp.square(mean), 0.0)
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value + (1 - self.momentum) * var
+                )
+            inv = jax.lax.rsqrt(var + self.epsilon)
+            return inv * scale, bias - mean * inv * scale
         if not train or self.is_initializing():
             inv = jax.lax.rsqrt(ra_var.value + self.epsilon)
             a = (inv * scale).astype(self.dtype)
@@ -69,27 +89,88 @@ class FusedBatchNormReLU(nn.Module):
         return z
 
 
+class _FusedBNReLUConv(nn.Module):
+    """3x3 conv whose input is relu(y*a+b), fused in one Pallas kernel.
+
+    Declares the same ``kernel`` param (name, shape, init, dtype) as the
+    ``nn.Conv`` it replaces, so checkpoints interoperate bit-for-bit with
+    the XLA build.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, y: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray):
+        from floodplanet_code_tpu.ops.conv_fused import relu_affine_conv3x3
+
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, y.shape[-1], self.features),
+            jnp.float32,
+        )
+        return relu_affine_conv3x3(y, a, b, kernel)
+
+
 class DoubleConv(nn.Module):
-    """(conv3x3 => BN => ReLU) * 2 (reference unet.py:6-20)."""
+    """(conv3x3 => BN => ReLU) * 2 (reference unet.py:6-20).
+
+    ``conv_impl='pallas_fused'``: where it measures faster than XLA
+    (ops/conv_fused.recommended — the C1>=256 levels), the middle
+    BN->ReLU->conv boundary runs as ONE Pallas kernel so the normalized
+    activation is never materialized to HBM. The variable tree is
+    identical to the XLA build (same Conv_1/BatchNorm_0 params), so
+    checkpoints interoperate across both settings.
+    """
 
     out_channels: int
     mid_channels: int | None = None
     dtype: Dtype = jnp.float32
     bn_axis_name: str | None = None
     fused_bn: bool = True
+    conv_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         mid = self.mid_channels or self.out_channels
+        use_pallas_pair = False
+        if self.conv_impl == "pallas_fused" and self.fused_bn:
+            from floodplanet_code_tpu.ops.conv_fused import recommended
+
+            mid_shape = x.shape[:3] + (mid,)
+            use_pallas_pair = recommended(mid_shape, self.out_channels)
         for i, channels in enumerate((mid, self.out_channels)):
-            x = nn.Conv(
-                channels,
-                kernel_size=(3, 3),
-                padding="SAME",
-                use_bias=False,  # BN immediately follows; bias is redundant
-                dtype=self.dtype,
-                param_dtype=jnp.float32,
-            )(x)
+            if not (i == 1 and use_pallas_pair):
+                x = nn.Conv(
+                    channels,
+                    kernel_size=(3, 3),
+                    padding="SAME",
+                    use_bias=False,  # BN follows; bias is redundant
+                    dtype=self.dtype,
+                    param_dtype=jnp.float32,
+                    name=f"Conv_{i}",
+                )(x)
+            if use_pallas_pair:
+                if i == 0:
+                    # BN_0's apply+ReLU is deferred into Conv_1's kernel.
+                    continue
+                a, b = FusedBatchNormReLU(
+                    momentum=0.9,
+                    epsilon=1e-5,
+                    dtype=self.dtype,
+                    axis_name=self.bn_axis_name if train else None,
+                    return_affine=True,
+                    name="BatchNorm_0",
+                )(x, train)
+                x = _FusedBNReLUConv(channels, name="Conv_1")(x, a, b)
+                x = FusedBatchNormReLU(
+                    momentum=0.9,
+                    epsilon=1e-5,
+                    dtype=self.dtype,
+                    axis_name=self.bn_axis_name if train else None,
+                    name="BatchNorm_1",
+                )(x, train)
+                continue
             if self.fused_bn:
                 x = FusedBatchNormReLU(
                     momentum=0.9,
@@ -128,6 +209,7 @@ class Down(nn.Module):
     bn_axis_name: str | None = None
     fused_bn: bool = True
     pool_impl: str = "xla"
+    conv_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -144,6 +226,7 @@ class Down(nn.Module):
             dtype=self.dtype,
             bn_axis_name=self.bn_axis_name,
             fused_bn=self.fused_bn,
+            conv_impl=self.conv_impl,
         )(x, train)
 
 
@@ -283,6 +366,7 @@ class Up(nn.Module):
     fused_bn: bool = True
     align_corners: bool = False
     upsample_impl: str = "conv"
+    conv_impl: str = "xla"
 
     @nn.compact
     def __call__(
@@ -297,6 +381,7 @@ class Up(nn.Module):
             dtype=self.dtype,
             bn_axis_name=self.bn_axis_name,
             fused_bn=self.fused_bn,
+            conv_impl=self.conv_impl,
         )(x, train)
 
 
@@ -308,6 +393,7 @@ class UNetEncoder(nn.Module):
     bn_axis_name: str | None = None
     fused_bn: bool = True
     pool_impl: str = "xla"
+    conv_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> list:
@@ -316,6 +402,7 @@ class UNetEncoder(nn.Module):
             dtype=self.dtype,
             bn_axis_name=self.bn_axis_name,
             fused_bn=self.fused_bn,
+            conv_impl=self.conv_impl,
         )
         x1 = DoubleConv(bfc, **kw)(x, train)
         kw["pool_impl"] = self.pool_impl
@@ -341,6 +428,7 @@ class UNetDecoder(nn.Module):
     fused_bn: bool = True
     align_corners: bool = False
     upsample_impl: str = "conv"
+    conv_impl: str = "xla"
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
@@ -352,6 +440,7 @@ class UNetDecoder(nn.Module):
             fused_bn=self.fused_bn,
             align_corners=self.align_corners,
             upsample_impl=self.upsample_impl,
+            conv_impl=self.conv_impl,
         )
         # Bilinear variant: each Up halves channels; mid = in_channels // 2
         # (reference DoubleConv(in, out, in//2), unet.py:46).
@@ -379,6 +468,7 @@ class UNet(nn.Module):
     align_corners: bool = False
     pool_impl: str = "xla"
     upsample_impl: str = "conv"
+    conv_impl: str = "xla"
 
     def setup(self):
         self.encoder = UNetEncoder(
@@ -387,6 +477,7 @@ class UNet(nn.Module):
             bn_axis_name=self.bn_axis_name,
             fused_bn=self.fused_bn,
             pool_impl=self.pool_impl,
+            conv_impl=self.conv_impl,
         )
         self.decoder = UNetDecoder(
             n_classes=self.n_classes,
@@ -396,6 +487,7 @@ class UNet(nn.Module):
             fused_bn=self.fused_bn,
             align_corners=self.align_corners,
             upsample_impl=self.upsample_impl,
+            conv_impl=self.conv_impl,
         )
 
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:

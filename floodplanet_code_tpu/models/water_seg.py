@@ -46,6 +46,7 @@ class WaterSegModel(nn.Module):
     align_corners: bool = False
     pool_impl: str = "xla"
     upsample_impl: str = "conv"
+    conv_impl: str = "xla"
 
     @nn.compact
     def __call__(self, batch: dict, train: bool = False) -> jnp.ndarray:
@@ -58,6 +59,7 @@ class WaterSegModel(nn.Module):
             align_corners=self.align_corners,
             pool_impl=self.pool_impl,
             upsample_impl=self.upsample_impl,
+            conv_impl=self.conv_impl,
         )(batch["image"], train)
 
 
@@ -72,6 +74,7 @@ class EarlyFusionModel(nn.Module):
     align_corners: bool = False
     pool_impl: str = "xla"
     upsample_impl: str = "conv"
+    conv_impl: str = "xla"
 
     @nn.compact
     def __call__(self, batch: dict, train: bool = False) -> jnp.ndarray:
@@ -89,6 +92,7 @@ class EarlyFusionModel(nn.Module):
             align_corners=self.align_corners,
             pool_impl=self.pool_impl,
             upsample_impl=self.upsample_impl,
+            conv_impl=self.conv_impl,
         )(x, train)
 
 
@@ -109,6 +113,7 @@ class LateFusionModel(nn.Module):
     align_corners: bool = False
     pool_impl: str = "xla"
     upsample_impl: str = "conv"
+    conv_impl: str = "xla"
 
     @nn.compact
     def __call__(self, batch: dict, train: bool = False) -> jnp.ndarray:
@@ -135,6 +140,7 @@ class LateFusionModel(nn.Module):
                 bn_axis_name=self.bn_axis_name,
                 fused_bn=self.fused_bn,
                 pool_impl=self.pool_impl,
+                conv_impl=self.conv_impl,
                 name=f"encoder_{name}",
             )
             pyramids.append(encoder(modality_input[name], train))
@@ -161,6 +167,7 @@ class LateFusionModel(nn.Module):
             fused_bn=self.fused_bn,
             align_corners=self.align_corners,
             upsample_impl=self.upsample_impl,
+            conv_impl=self.conv_impl,
         )
         return decoder(fused, train)
 

@@ -309,6 +309,7 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
         train_dataset.n_channels,
         n_classes,
         dtype=compute_dtype,
+        conv_impl=cfg.select("tpu.conv_impl", "xla"),
         **(cfg.model.get("model_kwargs") or {}),
     )
 
