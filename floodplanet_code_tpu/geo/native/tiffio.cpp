@@ -50,6 +50,7 @@ size_t type_size(uint16_t type) {
     case 3: case 8: return 2;                   // SHORT, SSHORT
     case 4: case 9: case 11: return 4;          // LONG, SLONG, FLOAT
     case 5: case 10: case 12: return 8;         // RATIONAL, SRATIONAL, DOUBLE
+    case 16: case 17: case 18: return 8;        // LONG8, SLONG8, IFD8 (BigTIFF)
     default: return 0;
   }
 }
@@ -57,6 +58,7 @@ size_t type_size(uint16_t type) {
 struct Reader {
   int fd = -1;  // pread-based access => handle is safe to share across threads
   bool big_endian = false;
+  bool bigtiff = false;  // magic 43: 8-byte offsets, 20-byte IFD entries
 
   // Image geometry.
   uint32_t width = 0, height = 0;
@@ -90,6 +92,10 @@ struct Reader {
                : ((uint32_t)p[3] << 24) | ((uint32_t)p[2] << 16) |
                      ((uint32_t)p[1] << 8) | p[0];
   }
+  uint64_t rd64(const uint8_t *p) const {
+    return big_endian ? ((uint64_t)rd32(p) << 32) | rd32(p + 4)
+                      : ((uint64_t)rd32(p + 4) << 32) | rd32(p);
+  }
 
   size_t dtype_bytes() const { return bits / 8; }
 
@@ -113,10 +119,14 @@ struct Reader {
     size_t total = esz * (size_t)t.count;
     if (total > kMaxTagBytes) return false;
     std::vector<uint8_t> buf(total);
-    if (total <= 4) {
-      memcpy(buf.data(), entry + 8, total);
+    // Classic entries carry a 4-byte value/offset field at +8; BigTIFF
+    // entries an 8-byte one at +12 (count is 8 bytes).
+    const size_t value_at = bigtiff ? 12 : 8;
+    const size_t inline_max = bigtiff ? 8 : 4;
+    if (total <= inline_max) {
+      memcpy(buf.data(), entry + value_at, total);
     } else {
-      uint32_t off = rd32(entry + 8);
+      uint64_t off = bigtiff ? rd64(entry + value_at) : rd32(entry + value_at);
       if (!read_at(off, buf.data(), total)) return false;
     }
     t.raw = buf;
@@ -149,6 +159,8 @@ struct Reader {
           t.dvalues.push_back(d);
           break;
         }
+        case 16: case 18: t.values.push_back(rd64(p)); break;
+        case 17: t.values.push_back((uint64_t)(int64_t)rd64(p)); break;
       }
     }
     return true;
@@ -172,34 +184,64 @@ struct Reader {
       return false;
     }
     uint16_t magic = rd16(hdr + 2);
-    if (magic == 43) {
-      set_error("BigTIFF not supported");
-      return false;
-    }
-    if (magic != 42) {
+    if (magic != 42 && magic != 43) {
       set_error("not a TIFF file (bad magic)");
       return false;
     }
-    uint32_t ifd_off = rd32(hdr + 4);
+    uint64_t ifd_off;
+    if (magic == 43) {
+      // BigTIFF: u16 offset-size (must be 8), u16 pad (0), u64 IFD offset.
+      bigtiff = true;
+      uint8_t hdr2[16];
+      if (!read_at(0, hdr2, 16)) {
+        set_error("truncated BigTIFF header");
+        return false;
+      }
+      if (rd16(hdr2 + 4) != 8 || rd16(hdr2 + 6) != 0) {
+        set_error("malformed BigTIFF header (offset size != 8)");
+        return false;
+      }
+      ifd_off = rd64(hdr2 + 8);
+    } else {
+      ifd_off = rd32(hdr + 4);
+    }
 
-    uint8_t cntb[2];
-    if (!read_at(ifd_off, cntb, 2)) {
-      set_error("cannot read IFD");
+    // IFD: classic = u16 count + 12-byte entries; BigTIFF = u64 count +
+    // 20-byte entries.
+    const size_t entry_size = bigtiff ? 20 : 12;
+    uint64_t n_entries;
+    if (bigtiff) {
+      uint8_t cntb[8];
+      if (!read_at(ifd_off, cntb, 8)) {
+        set_error("cannot read IFD");
+        return false;
+      }
+      n_entries = rd64(cntb);
+    } else {
+      uint8_t cntb[2];
+      if (!read_at(ifd_off, cntb, 2)) {
+        set_error("cannot read IFD");
+        return false;
+      }
+      n_entries = rd16(cntb);
+    }
+    if (n_entries > 65536) {
+      set_error("implausible IFD entry count");
       return false;
     }
-    uint16_t n_entries = rd16(cntb);
-    std::vector<uint8_t> entries(12 * (size_t)n_entries);
-    if (!read_at(ifd_off + 2, entries.data(), entries.size())) {
+    std::vector<uint8_t> entries(entry_size * (size_t)n_entries);
+    if (!read_at(ifd_off + (bigtiff ? 8 : 2), entries.data(),
+                 entries.size())) {
       set_error("cannot read IFD entries");
       return false;
     }
 
-    for (uint16_t i = 0; i < n_entries; ++i) {
-      const uint8_t *e = entries.data() + 12 * (size_t)i;
+    for (uint64_t i = 0; i < n_entries; ++i) {
+      const uint8_t *e = entries.data() + entry_size * (size_t)i;
       TiffTag t;
       t.tag = rd16(e);
       t.type = rd16(e + 2);
-      t.count = rd32(e + 4);
+      t.count = bigtiff ? rd64(e + 4) : rd32(e + 4);
       if (!parse_tag_values(t, e)) {
         set_error("cannot read tag values");
         return false;

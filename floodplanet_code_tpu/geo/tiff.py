@@ -291,6 +291,7 @@ def imwrite(
     array: np.ndarray,
     geo_from: str | None = None,
     planar_as_chw: bool = True,
+    bigtiff: bool | None = None,
 ) -> None:
     """Write an array as an uncompressed striped TIFF.
 
@@ -298,7 +299,13 @@ def imwrite(
     pipeline's band-sequential layout) or [H,W,C] when ``planar_as_chw`` is
     False. Multi-band data is stored interleaved (PlanarConfig=1).
     When ``geo_from`` names a source GeoTIFF, its geo-referencing tags are
-    copied so exports stay georeferenced.
+    copied so exported masks stay georeferenced.
+
+    ``bigtiff=None`` (default) transparently switches to BigTIFF (version
+    43, 64-bit offsets) once the pixel payload would overflow classic
+    TIFF's 32-bit strip offsets — the same behavior the reference inherits
+    from tifffile (utils/utils_image.py:530-533). ``True`` forces BigTIFF;
+    ``False`` forces classic and raises on a too-large canvas.
     """
     array = np.asarray(array)
     if array.ndim == 2:
@@ -309,18 +316,18 @@ def imwrite(
         raise ValueError(f"Cannot write array with ndim={array.ndim}")
     height, width, samples = hwc.shape
 
-    # Classic TIFF carries 32-bit strip offsets: a file past 4 GB would
-    # silently truncate offsets. Fail fast (before any pixel copy) with an
-    # actionable message instead (the reference gets large-file handling
-    # from tifffile's transparent BigTIFF switch,
-    # utils/utils_image.py:530-533).
+    # Classic TIFF carries 32-bit strip offsets: past ~4 GB we switch to
+    # BigTIFF (decided before any pixel copy).
     approx_bytes = height * width * samples * hwc.dtype.itemsize
-    if approx_bytes >= 2**32 - (1 << 20):
+    needs_big = approx_bytes >= 2**32 - (1 << 20)
+    if bigtiff is None:
+        bigtiff = needs_big
+    elif not bigtiff and needs_big:
         raise ValueError(
             f"classic TIFF cannot hold {approx_bytes / 1e9:.1f} GB "
             f"({height}x{width}x{samples} {hwc.dtype}): 32-bit strip "
-            "offsets overflow past 4 GB. Write the canvas tiled (e.g. "
-            "per-region crops), downsample, or use a narrower dtype "
+            "offsets overflow past 4 GB. Drop bigtiff=False, write the "
+            "canvas tiled, downsample, or use a narrower dtype "
             "(uint8 masks instead of float probabilities)."
         )
 
@@ -336,7 +343,6 @@ def imwrite(
     hwc = np.ascontiguousarray(hwc)
     if hwc.dtype.byteorder == ">":
         hwc = hwc.astype(hwc.dtype.newbyteorder("<"))
-    pixel_data = hwc.tobytes()
 
     # Strips of ~256 KB.
     row_bytes = width * samples * hwc.dtype.itemsize
@@ -375,44 +381,56 @@ def imwrite(
     tags.extend(geo_tags)
 
     # StripOffsets/StripByteCounts need the layout decided first. Layout:
-    # header(8) | IFD | external tag data | pixel data strips.
+    # header | IFD | external tag data | pixel data strips.
+    # Classic: 8-byte header, u16 entry count, 12-byte entries (4-byte
+    # value/offset field), u32 next-IFD. BigTIFF (version 43): 16-byte
+    # header, u64 entry count, 20-byte entries (u64 count, 8-byte
+    # value/offset field), u64 next-IFD, LONG8 strip arrays.
     n_entries = len(tags) + 2  # + StripOffsets + StripByteCounts
-    ifd_offset = 8
-    ifd_size = 2 + n_entries * 12 + 4
+    if bigtiff:
+        ifd_offset = 16
+        ifd_size = 8 + n_entries * 20 + 8
+        inline_max = 8
+        off_fmt = "<Q"
+        strip_type, strip_item = 16, 8  # LONG8
+    else:
+        ifd_offset = 8
+        ifd_size = 2 + n_entries * 12 + 4
+        inline_max = 4
+        off_fmt = "<I"
+        strip_type, strip_item = 4, 4  # LONG
 
     # External data area starts after IFD.
     external: list[bytes] = []
     ext_offset = ifd_offset + ifd_size
 
-    def place(value_bytes: bytes) -> tuple[bytes, int]:
-        """Return (inline-or-offset 4 bytes, advance)."""
+    def place(value_bytes: bytes) -> bytes:
+        """Return the entry's inline-or-offset value field."""
         nonlocal ext_offset
-        if len(value_bytes) <= 4:
-            return value_bytes.ljust(4, b"\x00"), 0
+        if len(value_bytes) <= inline_max:
+            return value_bytes.ljust(inline_max, b"\x00")
         aligned = value_bytes + (b"\x00" if len(value_bytes) % 2 else b"")
         external.append(aligned)
-        off_bytes = struct.pack("<I", ext_offset)
+        off_bytes = struct.pack(off_fmt, ext_offset)
         ext_offset += len(aligned)
-        return off_bytes, len(aligned)
+        return off_bytes
 
     # First pass to compute external sizes for strip offsets placement: build
     # entries for all tags except strip offsets/counts, then compute where
     # pixel data lands.
-    entry_blobs: list[tuple[int, int, int, bytes]] = []
-    for tag, typ, count, data in tags:
-        entry_blobs.append((tag, typ, count, data))
+    entry_blobs: list[tuple[int, int, int, bytes]] = list(tags)
 
-    strip_off_bytes = 4 * n_strips
-    strip_cnt_bytes = 4 * n_strips
+    strip_off_bytes = strip_item * n_strips
+    strip_cnt_bytes = strip_item * n_strips
     # Reserve external slots for strip arrays if they don't fit inline.
     data_start = ifd_offset + ifd_size
     ext_total = 0
     for _, _, _, data in entry_blobs:
-        if len(data) > 4:
+        if len(data) > inline_max:
             ext_total += len(data) + (len(data) % 2)
-    if strip_off_bytes > 4:
+    if strip_off_bytes > inline_max:
         ext_total += strip_off_bytes
-    if strip_cnt_bytes > 4:
+    if strip_cnt_bytes > inline_max:
         ext_total += strip_cnt_bytes
     pixel_start = data_start + ext_total
 
@@ -423,31 +441,47 @@ def imwrite(
         acc += count
 
     entry_blobs.append(
-        (273, 4, n_strips, b"".join(struct.pack("<I", o) for o in strip_offsets))
+        (
+            273,
+            strip_type,
+            n_strips,
+            b"".join(struct.pack(off_fmt, o) for o in strip_offsets),
+        )
     )
     entry_blobs.append(
-        (279, 4, n_strips, b"".join(struct.pack("<I", c) for c in strip_counts))
+        (
+            279,
+            strip_type,
+            n_strips,
+            b"".join(struct.pack(off_fmt, c) for c in strip_counts),
+        )
     )
     entry_blobs.sort(key=lambda item: item[0])
 
-    # Emit.
+    # Emit header + IFD + external data, then stream the pixel buffer
+    # (no tobytes() copy: exactly the >4 GB case must not double memory).
     out = bytearray()
-    out += b"II" + struct.pack("<H", 42) + struct.pack("<I", ifd_offset)
-    out += struct.pack("<H", n_entries)
+    if bigtiff:
+        out += b"II" + struct.pack("<HHH", 43, 8, 0)
+        out += struct.pack("<Q", ifd_offset)
+        out += struct.pack("<Q", n_entries)
+    else:
+        out += b"II" + struct.pack("<H", 42) + struct.pack("<I", ifd_offset)
+        out += struct.pack("<H", n_entries)
+    entry_fmt = "<HHQ" if bigtiff else "<HHI"
     ext_offset = data_start
     external = []
     for tag, typ, count, data in entry_blobs:
-        value_field, _ = place(data)
-        out += struct.pack("<HHI", tag, typ, count) + value_field
-    out += struct.pack("<I", 0)  # next IFD
+        out += struct.pack(entry_fmt, tag, typ, count) + place(data)
+    out += struct.pack(off_fmt, 0)  # next IFD
     for blob in external:
         out += blob
     assert len(out) == pixel_start, (len(out), pixel_start)
-    out += pixel_data
 
     tmp_path = path + ".tmp"
     with open(tmp_path, "wb") as handle:
         handle.write(out)
+        handle.write(memoryview(hwc).cast("B"))
     os.replace(tmp_path, path)
     # Invalidate any cached open handle for this path.
     with _cache_lock:

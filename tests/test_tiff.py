@@ -12,6 +12,15 @@ from floodplanet_code_tpu.geo import tiff
 REFERENCE_DATA = "/root/reference/CSDAP_complete"
 
 
+def _first_reference_scene() -> str | None:
+    if not os.path.isdir(REFERENCE_DATA):
+        return None
+    import glob
+
+    scenes = glob.glob(os.path.join(REFERENCE_DATA, "*", "S1", "*.tif"))
+    return sorted(scenes)[0] if scenes else None
+
+
 class TestRoundTrip:
     @pytest.mark.parametrize(
         "shape,dtype",
@@ -62,12 +71,78 @@ class TestWindowedRead:
         with pytest.raises(IOError):
             tiff.read_window(path, 5, 5, 10, 10)
 
-    def test_over_4gb_guard(self, tmp_path):
-        # Zero-copy logical 4.9 GB canvas: the guard must fire before any
-        # pixel materialization (classic TIFF offsets are 32-bit).
+    def test_over_4gb_forced_classic_raises(self, tmp_path):
+        # Zero-copy logical 4.9 GB canvas: with bigtiff=False the guard
+        # must fire before any pixel materialization (classic TIFF offsets
+        # are 32-bit). The default (bigtiff=None) instead transparently
+        # writes BigTIFF — covered by TestBigTIFF without the 4.9 GB.
         big = np.broadcast_to(np.zeros((1, 1), np.uint8), (70000, 70000))
         with pytest.raises(ValueError, match="32-bit strip"):
-            tiff.imwrite(str(tmp_path / "big.tif"), big)
+            tiff.imwrite(str(tmp_path / "big.tif"), big, bigtiff=False)
+
+
+class TestBigTIFF:
+    """BigTIFF (version 43, 64-bit offsets) write + native read.
+
+    Forced on small arrays so CI never touches 4 GB; the auto switch
+    (`bigtiff=None` past 2**32 bytes) produces byte-identical structure.
+    Parity target: tifffile's transparent BigTIFF handling used by the
+    reference (utils/utils_image.py:530-533).
+    """
+
+    @pytest.mark.parametrize(
+        "shape,dtype",
+        [((33, 47), np.uint8), ((3, 40, 50), np.uint16), ((2, 21, 35), np.float32)],
+    )
+    def test_round_trip(self, tmp_path, shape, dtype, rng):
+        if np.issubdtype(dtype, np.floating):
+            arr = rng.standard_normal(shape).astype(dtype)
+        else:
+            arr = rng.integers(0, 100, shape).astype(dtype)
+        path = str(tmp_path / "big.tif")
+        tiff.imwrite(path, arr, bigtiff=True)
+        with open(path, "rb") as handle:
+            header = handle.read(4)
+        assert struct.unpack("<H", header[2:4])[0] == 43
+        np.testing.assert_array_equal(tiff.imread(path), arr)
+
+    def test_windowed_read(self, tmp_path, rng):
+        arr = rng.integers(0, 255, (4, 120, 90)).astype(np.uint8)
+        path = str(tmp_path / "big.tif")
+        tiff.imwrite(path, arr, bigtiff=True)
+        win = tiff.read_window(path, 37, 11, 50, 60)
+        np.testing.assert_array_equal(win, arr[:, 37:87, 11:71])
+
+    @pytest.mark.slow
+    def test_auto_switch_past_4gb(self, tmp_path):
+        # 66000x66000 uint8 = 4.36 GB: bigtiff=None must auto-switch to
+        # BigTIFF and the native reader must window-read strips that live
+        # past the 4 GB offset mark. Slow lane: ~4.4 GB RSS + disk.
+        h = w = 66000
+        arr = np.zeros((h, w), np.uint8)
+        arr[-1, -3:] = (7, 8, 9)
+        path = str(tmp_path / "auto.tif")
+        try:
+            tiff.imwrite(path, arr)
+            with open(path, "rb") as fh:
+                assert struct.unpack("<H", fh.read(4)[2:4])[0] == 43
+            win = tiff.read_window(path, h - 1, w - 3, 1, 3)
+            np.testing.assert_array_equal(win, arr[-1:, -3:])
+        finally:
+            if os.path.exists(path):
+                os.remove(path)
+
+    def test_geo_tag_passthrough(self, tmp_path, rng):
+        src = _first_reference_scene()
+        if src is None:
+            pytest.skip("reference scenes unavailable")
+        arr = rng.integers(0, 2, (64, 64)).astype(np.uint8)
+        path = str(tmp_path / "mask_big.tif")
+        tiff.imwrite(path, arr, geo_from=src, bigtiff=True)
+        with tiff.TiffFile(path) as got, tiff.TiffFile(src) as want:
+            assert {t[0] for t in got.geo_tags()} == {
+                t[0] for t in want.geo_tags()
+            }
 
 
 class TestCompression:
