@@ -327,6 +327,11 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
         lr=cfg.lr,
         optimizer_name=cfg.select("model.model_kwargs.optimizer_name", cfg.optimizer),
         seed=cfg.seed_num or 0,
+        schedule=cfg.select("lr_schedule", "constant"),
+        # Cosine decays to 0 at the last step of the run (drop_last train
+        # batching: len//batch steps per epoch).
+        total_steps=cfg.n_epochs * max(1, len(train_dataset) // batch_size),
+        warmup_steps=int(cfg.select("lr_warmup_steps", 0) or 0),
     )
     state = replicate_state(state, mesh)
 

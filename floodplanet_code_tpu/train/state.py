@@ -22,14 +22,41 @@ class TrainState(train_state.TrainState):
     batch_stats: Any = struct.field(default=None)
 
 
-def build_optimizer(optimizer_name: str, lr: float) -> optax.GradientTransformation:
-    """Optimizer factory (reference: adam only, water_seg_model.py:198-205)."""
+def build_optimizer(
+    optimizer_name: str,
+    lr: float,
+    schedule: str = "constant",
+    total_steps: int = 0,
+    warmup_steps: int = 0,
+) -> optax.GradientTransformation:
+    """Optimizer factory (reference: adam only, water_seg_model.py:198-205).
+
+    ``schedule='constant'`` reproduces the reference's fixed LR.
+    ``'cosine'`` is a beyond-reference option: linear warmup over
+    ``warmup_steps`` then cosine decay to 0 at ``total_steps`` — the
+    schedule state lives in the optax step count, so mid-training resume
+    restores it with the rest of the optimizer state.
+    """
+    rate: float | optax.Schedule = lr
+    if schedule == "cosine":
+        if total_steps <= 0:
+            raise ValueError("cosine schedule needs total_steps > 0")
+        rate = optax.warmup_cosine_decay_schedule(
+            init_value=0.0 if warmup_steps else lr,
+            peak_value=lr,
+            warmup_steps=warmup_steps,
+            decay_steps=max(total_steps, warmup_steps + 1),
+        )
+    elif schedule != "constant":
+        raise NotImplementedError(
+            f"No implementation for lr schedule of name: {schedule}"
+        )
     if optimizer_name == "adam":
-        return optax.adam(lr)
+        return optax.adam(rate)
     if optimizer_name == "adamw":
-        return optax.adamw(lr)
+        return optax.adamw(rate)
     if optimizer_name == "sgd":
-        return optax.sgd(lr, momentum=0.9)
+        return optax.sgd(rate, momentum=0.9)
     raise NotImplementedError(
         f"No implementation for optimizer of name: {optimizer_name}"
     )
@@ -41,6 +68,9 @@ def create_train_state(
     lr: float,
     optimizer_name: str = "adam",
     seed: int = 0,
+    schedule: str = "constant",
+    total_steps: int = 0,
+    warmup_steps: int = 0,
 ) -> TrainState:
     """Initialize model variables and wrap them in a TrainState."""
     rng = jax.random.key(seed)
@@ -55,6 +85,12 @@ def create_train_state(
     return TrainState.create(
         apply_fn=model.apply,
         params=variables["params"],
-        tx=build_optimizer(optimizer_name, lr),
+        tx=build_optimizer(
+            optimizer_name,
+            lr,
+            schedule=schedule,
+            total_steps=total_steps,
+            warmup_steps=warmup_steps,
+        ),
         batch_stats=variables.get("batch_stats"),
     )

@@ -63,6 +63,44 @@ class TestTrainStep:
                 first = float(logs["loss"])
         assert float(logs["loss"]) < first
 
+    def test_cosine_schedule_decays_lr(self, rng):
+        # Beyond-reference option (lr_schedule=cosine): warmup then cosine
+        # to 0; the schedule rides the optax step count so resume restores
+        # it with the optimizer state.
+        from floodplanet_code_tpu.train.state import build_optimizer
+        import optax
+
+        tx = build_optimizer(
+            "adam", 1e-3, schedule="cosine", total_steps=100, warmup_steps=10
+        )
+        # The underlying schedule is observable through a fresh instance.
+        sched = optax.warmup_cosine_decay_schedule(0.0, 1e-3, 10, 100)
+        assert float(sched(0)) == 0.0
+        assert abs(float(sched(10)) - 1e-3) < 1e-9
+        assert float(sched(99)) < 1e-5
+        # And the optimizer actually trains.
+        model = build_model("ms_model", {"ms_image": 2}, 3)
+        batch = tiny_batch(rng)
+        state = create_train_state(
+            model, batch, lr=1e-3, schedule="cosine", total_steps=50,
+            warmup_steps=5,
+        )
+        step = make_train_step(model, 0, NO_AUG)
+        key = jax.random.key(0)
+        first = None
+        for _ in range(12):
+            key, sub = jax.random.split(key)
+            state, logs = step(
+                state, {k: jnp.asarray(v) for k, v in batch.items()}, sub
+            )
+            if first is None:
+                first = float(logs["loss"])
+        assert float(logs["loss"]) < first
+        with pytest.raises(NotImplementedError):
+            build_optimizer("adam", 1e-3, schedule="nope")
+        with pytest.raises(ValueError):
+            build_optimizer("adam", 1e-3, schedule="cosine", total_steps=0)
+
     def test_sharded_step_matches_single_device(self, rng):
         """The SPMD-sharded step must be numerically equivalent."""
         model = build_model("ms_model", {"ms_image": 2}, 3, dtype=jnp.float32)
