@@ -39,8 +39,12 @@ def infer(
     save_dir: str,
     eval_region=None,
     n_workers: int | None = None,
+    tta: bool = False,
 ) -> list[str]:
-    """Run inference and export masks; returns the written mask paths."""
+    """Run inference and export masks; returns the written mask paths.
+
+    ``tta``: dihedral test-time augmentation (see predict.py --tta).
+    """
     # Non-overlapping slide at inference (reference infer.py:64-65).
     slice_params = generate_image_slice_object(
         cfg.crop_height,
@@ -84,6 +88,7 @@ def infer(
             device_data_bytes=int(
                 cfg.select("tpu.device_data_bytes", 6 << 30) or 0
             ),
+            tta=tta,
         ),
         total=n_scenes,
         desc="infer scenes",
@@ -111,6 +116,12 @@ def main(argv=None):
     parser.add_argument("--eval_region", type=str, default=None)
     parser.add_argument("--save_dir", type=str, default=None)
     parser.add_argument("--n_workers", type=int, default=None)
+    parser.add_argument(
+        "--tta",
+        action="store_true",
+        help="Dihedral test-time augmentation: average tile softmax over "
+        "the 8 square-symmetry transforms (~8x forward cost).",
+    )
     args = parser.parse_args(argv)
 
     experiment_dir = os.path.dirname(
@@ -128,6 +139,7 @@ def main(argv=None):
         save_dir,
         eval_region=args.eval_region,
         n_workers=args.n_workers,
+        tta=args.tta,
     )
     print(f"Wrote {len(written)} masks under {save_dir}")
     return written

@@ -128,12 +128,16 @@ def predict(
     eval_dataset_split: str = "test",
     n_workers: int | None = None,
     per_crop_stats: bool = False,
+    tta: bool = False,
 ) -> dict:
     """Evaluate a checkpoint; returns aggregate metrics dict.
 
     ``per_crop_stats``: rank images/regions by the mean of per-crop
     metrics (reference semantics, predict.py:236-261) instead of one
     score per stitched scene.
+    ``tta``: dihedral test-time augmentation — tile softmax averaged over
+    the 8 square-symmetry transforms (beyond-reference quality option;
+    ~8x the forward cost).
     """
     slice_params = generate_image_slice_object(
         cfg.crop_height, cfg.crop_width, cfg.crop_stride
@@ -201,6 +205,7 @@ def predict(
                 cfg.select("tpu.device_data_bytes", 6 << 30) or 0
             ),
             per_crop_ignore_index=ignore_index if per_crop_stats else None,
+            tta=tta,
         ),
         total=n_scenes,
         desc="predict scenes",
@@ -312,6 +317,12 @@ def main(argv=None):
         help="Rank images/regions by mean per-crop metrics (reference "
         "predict.py semantics) instead of one score per stitched scene.",
     )
+    parser.add_argument(
+        "--tta",
+        action="store_true",
+        help="Dihedral test-time augmentation: average tile softmax over "
+        "the 8 square-symmetry transforms (~8x forward cost).",
+    )
     args = parser.parse_args(argv)
 
     # Experiment dir = two levels above the checkpoint dir
@@ -331,6 +342,7 @@ def main(argv=None):
         eval_dataset_split=args.eval_dataset_split,
         n_workers=args.n_workers,
         per_crop_stats=args.per_crop_stats,
+        tta=args.tta,
     )
     print(json.dumps(metrics, indent=2))
     return metrics

@@ -31,17 +31,74 @@ from floodplanet_code_tpu.inference.stitcher import (
 from floodplanet_code_tpu.ops.metrics import confusion_from_preds
 
 
-def make_predict_step(model):
-    """Jitted forward -> softmax probabilities [B, H, W, n_classes]."""
+_MODALITY_KEYS = ("dem", "slope", "preflood", "pre_post_difference", "hand")
+
+
+def _d4_elements(square: bool):
+    """The dihedral group as (transpose, flip_h, flip_w) triples.
+
+    Non-square tiles keep only the 4 flip-only elements (transposing would
+    change the tile shape).
+    """
+    import itertools
+
+    ts = (False, True) if square else (False,)
+    return [
+        (t, fh, fw)
+        for t, fh, fw in itertools.product(ts, (False, True), (False, True))
+    ]
+
+
+def _d4_apply(x: jnp.ndarray, t: bool, fh: bool, fw: bool) -> jnp.ndarray:
+    if t:
+        x = jnp.swapaxes(x, 1, 2)
+    if fh:
+        x = jnp.flip(x, axis=1)
+    if fw:
+        x = jnp.flip(x, axis=2)
+    return x
+
+
+def _d4_invert(x: jnp.ndarray, t: bool, fh: bool, fw: bool) -> jnp.ndarray:
+    # apply = transpose then flips, so invert = unflip then untranspose.
+    if fh:
+        x = jnp.flip(x, axis=1)
+    if fw:
+        x = jnp.flip(x, axis=2)
+    if t:
+        x = jnp.swapaxes(x, 1, 2)
+    return x
+
+
+def make_predict_step(model, tta: bool = False):
+    """Jitted forward -> softmax probabilities [B, H, W, n_classes].
+
+    ``tta=True`` enables dihedral test-time augmentation (beyond-reference
+    quality option): the softmax is averaged over all 8 square-symmetry
+    transforms of the input (4 flip-only elements for non-square tiles),
+    each inverted exactly back to canvas orientation — quarter turns and
+    flips are lossless layout ops on TPU, so the only cost is the extra
+    forwards. The averaged predictor is exactly D4-equivariant.
+    """
 
     @jax.jit
     def predict_step(variables: dict, batch: dict):
         model_batch = {"image": batch["image"]}
-        for key in ("dem", "slope", "preflood", "pre_post_difference", "hand"):
+        for key in _MODALITY_KEYS:
             if key in batch:
                 model_batch[key] = batch[key]
-        logits = model.apply(variables, model_batch, train=False)
-        return jax.nn.softmax(logits, axis=-1)
+        if not tta:
+            logits = model.apply(variables, model_batch, train=False)
+            return jax.nn.softmax(logits, axis=-1)
+        shape = model_batch["image"].shape
+        elements = _d4_elements(square=shape[1] == shape[2])
+        acc = None
+        for t, fh, fw in elements:
+            tb = {k: _d4_apply(v, t, fh, fw) for k, v in model_batch.items()}
+            logits = model.apply(variables, tb, train=False)
+            probs = _d4_invert(jax.nn.softmax(logits, axis=-1), t, fh, fw)
+            acc = probs if acc is None else acc + probs
+        return acc / len(elements)
 
     return predict_step
 
@@ -117,6 +174,7 @@ def sliding_window_predict(
     collect_extras: bool = False,
     device_data_bytes: int = 6 << 30,
     per_crop_ignore_index: int | None = None,
+    tta: bool = False,
 ) -> Iterator[dict]:
     """Run tiled inference over a dataset; yield per-scene results.
 
@@ -133,7 +191,7 @@ def sliding_window_predict(
     (predict.py:236-261), where ranked image/region reports average
     per-crop scores rather than scoring each stitched scene once.
     """
-    predict_step = make_predict_step(model)
+    predict_step = make_predict_step(model, tta=tta)
 
     tile_cms = None
     if per_crop_ignore_index is not None:

@@ -149,6 +149,71 @@ class TestDeviceStitcher:
         assert out[1000, 1000] == 0.0
 
 
+class TestTTA:
+    """Dihedral test-time augmentation (sliding.make_predict_step tta)."""
+
+    def _model_and_vars(self, rng, n_ch=2, n_cls=3):
+        import jax
+
+        from floodplanet_code_tpu.models import build_model
+
+        model = build_model("ms_model", {"ms_image": n_ch}, n_cls)
+        x = jnp.asarray(rng.standard_normal((1, 16, 16, n_ch)).astype(np.float32))
+        variables = model.init(jax.random.key(0), {"image": x}, train=False)
+        return model, variables
+
+    def test_equivariance_square(self, rng):
+        # The D4-averaged predictor must commute with every D4 transform:
+        # step(g x) == g step(x), exactly (layout ops are lossless).
+        from floodplanet_code_tpu.inference.sliding import (
+            _d4_apply,
+            _d4_elements,
+            make_predict_step,
+        )
+
+        model, variables = self._model_and_vars(rng)
+        step = make_predict_step(model, tta=True)
+        x = jnp.asarray(rng.standard_normal((2, 16, 16, 2)).astype(np.float32))
+        base = np.asarray(step(variables, {"image": x}))
+        for g in _d4_elements(square=True):
+            got = np.asarray(step(variables, {"image": _d4_apply(x, *g)}))
+            np.testing.assert_allclose(
+                got, np.asarray(_d4_apply(jnp.asarray(base), *g)),
+                rtol=1e-5, atol=1e-6,
+            )
+
+    def test_nonsquare_uses_flip_subgroup(self, rng):
+        from floodplanet_code_tpu.inference.sliding import (
+            _d4_elements,
+            make_predict_step,
+        )
+
+        assert len(_d4_elements(square=False)) == 4
+        model, variables = self._model_and_vars(rng)
+        step = make_predict_step(model, tta=True)
+        x = jnp.asarray(rng.standard_normal((1, 16, 24, 2)).astype(np.float32))
+        probs = np.asarray(step(variables, {"image": x}))
+        assert probs.shape == (1, 16, 24, 3)
+        np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-5)
+
+    def test_tta_false_is_plain_softmax(self, rng):
+        import jax
+
+        from floodplanet_code_tpu.inference.sliding import make_predict_step
+
+        model, variables = self._model_and_vars(rng)
+        x = jnp.asarray(rng.standard_normal((1, 16, 16, 2)).astype(np.float32))
+        plain = np.asarray(
+            jax.nn.softmax(
+                model.apply(variables, {"image": x}, train=False), axis=-1
+            )
+        )
+        got = np.asarray(
+            make_predict_step(model, tta=False)(variables, {"image": x})
+        )
+        np.testing.assert_allclose(got, plain, rtol=1e-6)
+
+
 @pytest.mark.slow
 class TestEndToEndInference:
     @pytest.fixture(scope="class")
