@@ -103,16 +103,25 @@ def load_model_for_eval(cfg, checkpoint_path: str, dataset):
     )
     example = dataset.load_example(0, output_metadata=False)
     example_batch = {k: v[None] for k, v in example.items() if k != "metadata"}
-    # The restore template's opt_state pytree must match the checkpoint's, so
-    # the optimizer that trained it (adam/adamw/sgd) must be rebuilt here.
+    # The restore template's pytree must match the checkpoint's: rebuild
+    # the optimizer that trained it (adam/adamw/sgd), the schedule kind
+    # (a cosine schedule adds a step-count leaf to the optax state; the
+    # schedule's actual values are irrelevant for eval), and the EMA slot.
     state = create_train_state(
         model,
         example_batch,
         lr=cfg.lr,
         optimizer_name=cfg.select("model.model_kwargs.optimizer_name", cfg.optimizer),
+        schedule=cfg.select("lr_schedule", "constant"),
+        total_steps=1,
+        warmup_steps=0,
+        ema=float(cfg.select("ema_decay", 0.0) or 0.0) > 0,
     )
     state = load_checkpoint(checkpoint_path, state)
-    variables = {"params": state.params}
+    # EMA-trained checkpoints are evaluated with the averaged weights —
+    # the same params val selection used during training.
+    params = state.ema_params if state.ema_params is not None else state.params
+    variables = {"params": params}
     if state.batch_stats is not None:
         variables["batch_stats"] = state.batch_stats
     return model, variables

@@ -139,11 +139,15 @@ def make_train_step(
     transform_params: TransformParams,
     loss_cfg=None,
     fuse_augmentation: bool = True,
+    ema_decay: float = 0.0,
 ):
     """Build the jitted train step: [augment ->] forward -> loss -> update.
 
     ``fuse_augmentation=False`` leaves augmentation to a separate
     make_augment_step program (the fast path on TPU; see its docstring).
+    ``ema_decay``: when the state carries ``ema_params``, they are updated
+    as ``d*ema + (1-d)*params`` after the optimizer step (one fused
+    elementwise pass; ~free next to the backward).
 
     Returns (state, rng) -> (state', logs) where logs carries the scalar
     loss and the batch confusion matrix (additive across steps).
@@ -181,6 +185,14 @@ def make_train_step(
         state = state.apply_gradients(grads=grads)
         if state.batch_stats is not None:
             state = state.replace(batch_stats=updates["batch_stats"])
+        if state.ema_params is not None:
+            state = state.replace(
+                ema_params=jax.tree.map(
+                    lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+                    state.ema_params,
+                    state.params,
+                )
+            )
         confusion = confusion_from_logits(logits, target, ignore_index)
         return state, {"loss": loss, "confusion": confusion}
 
@@ -188,7 +200,11 @@ def make_train_step(
 
 
 def make_eval_step(model, ignore_index: int):
-    """Jitted eval step -> (loss_sum, confusion); padded rows masked out."""
+    """Jitted eval step -> (loss_sum, confusion); padded rows masked out.
+
+    Evaluates with ``ema_params`` when the state carries them (EMA
+    training monitors/selects checkpoints on the averaged weights).
+    """
 
     @jax.jit
     def eval_step(state: TrainState, batch: dict):
@@ -196,7 +212,13 @@ def make_eval_step(model, ignore_index: int):
         for key in ("dem", "slope", "preflood", "pre_post_difference", "hand"):
             if key in batch:
                 model_batch[key] = batch[key]
-        variables = {"params": state.params}
+        variables = {
+            "params": (
+                state.ema_params
+                if state.ema_params is not None
+                else state.params
+            )
+        }
         if state.batch_stats is not None:
             variables["batch_stats"] = state.batch_stats
         logits = model.apply(variables, model_batch, train=False)
@@ -332,6 +354,7 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
         # batching: len//batch steps per epoch).
         total_steps=cfg.n_epochs * max(1, len(train_dataset) // batch_size),
         warmup_steps=int(cfg.select("lr_warmup_steps", 0) or 0),
+        ema=float(cfg.select("ema_decay", 0.0) or 0.0) > 0,
     )
     state = replicate_state(state, mesh)
 
@@ -374,6 +397,7 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
             flat_spec,
             loss_cfg=cfg.select("loss"),
             fuse_augmentation=False,
+            ema_decay=float(cfg.select("ema_decay", 0.0) or 0.0),
         )
     else:
         fstate, flat_spec = None, None
@@ -383,6 +407,7 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
             transform_params,
             loss_cfg=cfg.select("loss"),
             fuse_augmentation=False,
+            ema_decay=float(cfg.select("ema_decay", 0.0) or 0.0),
         )
     augment_step = make_augment_step(transform_params, ignore_index)
     eval_step = make_eval_step(model, ignore_index)

@@ -44,6 +44,7 @@ class FlatTrainState(struct.PyTreeNode):
     flat_params: jax.Array
     flat_stats: jax.Array | None
     opt_state: Any  # optax state over flat_params (a handful of leaves)
+    flat_ema: jax.Array | None = None  # EMA of flat_params (tpu.ema_decay)
 
 
 class FlatSpec(NamedTuple):
@@ -99,6 +100,11 @@ def flatten_train_state(state: TrainState) -> tuple[FlatTrainState, FlatSpec]:
         flat_params=flat_params,
         flat_stats=flat_stats,
         opt_state=opt_state,
+        flat_ema=(
+            ravel_pytree(state.ema_params)[0]
+            if state.ema_params is not None
+            else None
+        ),
     )
     return fstate, spec
 
@@ -132,6 +138,11 @@ def _jitted_unflatten(spec: FlatSpec):
                 if fstate.flat_stats is not None
                 else None
             ),
+            (
+                spec.unravel_params(fstate.flat_ema)
+                if fstate.flat_ema is not None
+                else None
+            ),
         )
 
     return jax.jit(go)
@@ -139,7 +150,7 @@ def _jitted_unflatten(spec: FlatSpec):
 
 def unflatten_train_state(fstate: FlatTrainState, spec: FlatSpec) -> TrainState:
     """Rebuild the nested TrainState (for eval / orbax checkpointing)."""
-    params, opt_state, batch_stats = _jitted_unflatten(spec)(fstate)
+    params, opt_state, batch_stats, ema_params = _jitted_unflatten(spec)(fstate)
     return TrainState(
         step=fstate.step,
         apply_fn=spec.apply_fn,
@@ -147,6 +158,7 @@ def unflatten_train_state(fstate: FlatTrainState, spec: FlatSpec) -> TrainState:
         tx=spec.tx,
         opt_state=opt_state,
         batch_stats=batch_stats,
+        ema_params=ema_params,
     )
 
 
@@ -157,8 +169,13 @@ def make_flat_train_step(
     spec: FlatSpec,
     loss_cfg=None,
     fuse_augmentation: bool = False,
+    ema_decay: float = 0.0,
 ):
-    """Flat-state twin of train/fit.py make_train_step (same semantics)."""
+    """Flat-state twin of train/fit.py make_train_step (same semantics).
+
+    EMA here is ONE fused elementwise pass over the single flat buffer
+    (the flat packing's best case).
+    """
     from floodplanet_code_tpu.data.augment import augment_batch
     from floodplanet_code_tpu.ops.metrics import confusion_from_logits
     from floodplanet_code_tpu.train.fit import make_loss_fn
@@ -207,6 +224,11 @@ def make_flat_train_step(
             flat_params=new_params,
             flat_stats=new_stats,
             opt_state=new_opt,
+            flat_ema=(
+                ema_decay * fstate.flat_ema + (1.0 - ema_decay) * new_params
+                if fstate.flat_ema is not None
+                else None
+            ),
         )
         return new_fstate, {"loss": loss, "confusion": confusion}
 

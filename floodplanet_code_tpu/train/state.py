@@ -20,6 +20,10 @@ from flax.training import train_state
 
 class TrainState(train_state.TrainState):
     batch_stats: Any = struct.field(default=None)
+    # Exponential moving average of params (tpu.ema_decay > 0); evaluation
+    # and inference prefer these when present. None when EMA is off, so the
+    # checkpoint tree (and old checkpoints) are unchanged by default.
+    ema_params: Any = struct.field(default=None)
 
 
 def build_optimizer(
@@ -71,8 +75,13 @@ def create_train_state(
     schedule: str = "constant",
     total_steps: int = 0,
     warmup_steps: int = 0,
+    ema: bool = False,
 ) -> TrainState:
-    """Initialize model variables and wrap them in a TrainState."""
+    """Initialize model variables and wrap them in a TrainState.
+
+    ``ema=True`` seeds ``ema_params`` as a copy of the initial params; the
+    train step then maintains the moving average (tpu.ema_decay).
+    """
     rng = jax.random.key(seed)
     init_batch = {
         k: jnp.asarray(v)
@@ -93,4 +102,7 @@ def create_train_state(
             warmup_steps=warmup_steps,
         ),
         batch_stats=variables.get("batch_stats"),
+        ema_params=(
+            jax.tree.map(jnp.copy, variables["params"]) if ema else None
+        ),
     )

@@ -8,6 +8,7 @@ paths.
 """
 
 import jax
+import jax.flatten_util
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -65,6 +66,60 @@ def test_flat_state_is_small():
     fstate, _ = flatten_train_state(state)
     n = len(jax.tree.leaves(fstate))
     assert n <= 8, f"flat state has {n} leaves; packing failed"
+
+
+def test_ema_flat_matches_nested():
+    # EMA update (d*ema + (1-d)*params) must agree between the nested step
+    # and the flat step's single-buffer pass, and round-trip unflatten.
+    batch = _make_batch()
+    model = build_model("ef_model", {"ms_image": 4}, 3, base_feat_channels=8)
+    state = create_train_state(model, batch, lr=1e-3, ema=True)
+    assert state.ema_params is not None
+    d = 0.5
+    nested_step = make_train_step(model, 0, NO_AUG, ema_decay=d)
+    fstate, spec = flatten_train_state(state)
+    flat_step = make_flat_train_step(model, 0, NO_AUG, spec, ema_decay=d)
+
+    key = jax.random.key(0)
+    n_state = state
+    for i in range(3):
+        key, sub = jax.random.split(key)
+        n_state, _ = nested_step(n_state, batch, sub)
+    key = jax.random.key(0)
+    for i in range(3):
+        key, sub = jax.random.split(key)
+        fstate, _ = flat_step(fstate, batch, sub)
+    rebuilt = unflatten_train_state(fstate, spec)
+    assert rebuilt.ema_params is not None
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+        ),
+        n_state.ema_params,
+        rebuilt.ema_params,
+    )
+    # EMA lags the raw params (decay 0.5 over 3 steps from shared init).
+    flat_p, _ = jax.flatten_util.ravel_pytree(n_state.params)
+    flat_e, _ = jax.flatten_util.ravel_pytree(n_state.ema_params)
+    assert float(jnp.abs(flat_p - flat_e).max()) > 0
+
+
+def test_ema_eval_step_uses_averaged_params():
+    from floodplanet_code_tpu.train.fit import make_eval_step
+
+    batch = _make_batch()
+    model = build_model("ef_model", {"ms_image": 4}, 3, base_feat_channels=8)
+    state = create_train_state(model, batch, lr=1e-3, ema=True)
+    eval_step = make_eval_step(model, 0)
+    ebatch = dict(batch, valid=jnp.ones(batch["image"].shape[0], bool))
+    base = eval_step(state, ebatch)
+    # Zeroing the EMA params must change the eval output; zeroing the raw
+    # params must NOT (eval reads the EMA copy).
+    zeros = jax.tree.map(jnp.zeros_like, state.params)
+    changed = eval_step(state.replace(ema_params=zeros), ebatch)
+    unchanged = eval_step(state.replace(params=zeros), ebatch)
+    assert float(changed["loss"]) != pytest.approx(float(base["loss"]))
+    assert float(unchanged["loss"]) == pytest.approx(float(base["loss"]))
 
 
 @pytest.mark.parametrize("optimizer_name", ["adam", "adamw", "sgd"])
