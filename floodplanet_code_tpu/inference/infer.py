@@ -40,10 +40,14 @@ def infer(
     eval_region=None,
     n_workers: int | None = None,
     tta: bool = False,
+    warm=None,
 ) -> list[str]:
     """Run inference and export masks; returns the written mask paths.
 
     ``tta``: dihedral test-time augmentation (see predict.py --tta).
+    ``warm``: a (model, variables, predict_step) triple from a prior load
+    — skips checkpoint restore and keeps the compiled step's jit cache
+    across calls (the serving daemon, inference/serve.py).
     """
     # Non-overlapping slide at inference (reference infer.py:64-65).
     slice_params = generate_image_slice_object(
@@ -66,7 +70,11 @@ def infer(
         output_metadata=True,
         **dataset_kwargs,
     )
-    model, variables = load_model_for_eval(cfg, checkpoint_path, dataset)
+    predict_step = None
+    if warm is not None:
+        model, variables, predict_step = warm
+    else:
+        model, variables = load_model_for_eval(cfg, checkpoint_path, dataset)
     mesh = make_mesh(cfg.select("tpu.n_devices"))
     variables = replicate_state(variables, mesh)
     n_devices = len(mesh.devices.ravel())
@@ -89,6 +97,7 @@ def infer(
                 cfg.select("tpu.device_data_bytes", 6 << 30) or 0
             ),
             tta=tta,
+            predict_step=predict_step,
         ),
         total=n_scenes,
         desc="infer scenes",

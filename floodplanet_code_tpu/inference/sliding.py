@@ -175,6 +175,7 @@ def sliding_window_predict(
     device_data_bytes: int = 6 << 30,
     per_crop_ignore_index: int | None = None,
     tta: bool = False,
+    predict_step: Callable | None = None,
 ) -> Iterator[dict]:
     """Run tiled inference over a dataset; yield per-scene results.
 
@@ -191,7 +192,11 @@ def sliding_window_predict(
     (predict.py:236-261), where ranked image/region reports average
     per-crop scores rather than scoring each stitched scene once.
     """
-    predict_step = make_predict_step(model, tta=tta)
+    # ``predict_step``: inject a pre-built step to keep its jit cache warm
+    # across calls — a fresh closure per call would recompile (the serving
+    # daemon's case, inference/serve.py).
+    if predict_step is None:
+        predict_step = make_predict_step(model, tta=tta)
 
     tile_cms = None
     if per_crop_ignore_index is not None:

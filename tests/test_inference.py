@@ -324,3 +324,63 @@ class TestEndToEndInference:
             np.testing.assert_allclose(
                 probs.sum(axis=-1), 1.0, atol=1e-3
             )
+
+    def test_serve_daemon(self, trained_exp, synthetic_csdap_root, tmp_path):
+        """The HTTP serving daemon: health, cold request, warm request."""
+        import threading
+        import urllib.request
+
+        from floodplanet_code_tpu.inference.serve import serve
+
+        exp_dir, best = trained_exp
+        server = serve(best, port=0)  # ephemeral port
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        port = server.server_address[1]
+        base = f"http://127.0.0.1:{port}"
+        try:
+            with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+                health = json.loads(r.read())
+            assert health["status"] == "ok"
+            assert health["model_loaded"] is False
+
+            def post(payload, timeout=600):
+                req = urllib.request.Request(
+                    f"{base}/infer",
+                    data=json.dumps(payload).encode(),
+                    headers={"Content-Type": "application/json"},
+                )
+                with urllib.request.urlopen(req, timeout=timeout) as r:
+                    return json.loads(r.read())
+
+            out1 = post(
+                {
+                    "root": synthetic_csdap_root,
+                    "split": "test",
+                    "save_dir": str(tmp_path / "req1"),
+                }
+            )
+            assert out1["written"], out1
+            assert all(os.path.exists(p) for p in out1["written"])
+            # Second request rides the warm compiled step (same masks).
+            out2 = post(
+                {
+                    "root": synthetic_csdap_root,
+                    "split": "test",
+                    "save_dir": str(tmp_path / "req2"),
+                }
+            )
+            assert len(out2["written"]) == len(out1["written"])
+            with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+                assert json.loads(r.read())["model_loaded"] is True
+            # Bad requests surface as HTTP errors, not server death.
+            import urllib.error
+
+            with pytest.raises(urllib.error.HTTPError) as err:
+                post({"split": "test"})
+            assert err.value.code == 400
+            with pytest.raises(urllib.error.HTTPError) as err:
+                post({"root": "/nonexistent/dir"})
+            assert err.value.code == 404
+        finally:
+            server.shutdown()
