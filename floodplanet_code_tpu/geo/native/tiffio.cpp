@@ -113,11 +113,12 @@ struct Reader {
   bool parse_tag_values(TiffTag &t, const uint8_t *entry) {
     size_t esz = type_size(t.type);
     if (esz == 0) return true;  // unknown type: skip values, keep header
-    // Guard against corrupt tag counts (up to 4G entries * 8 bytes would
-    // otherwise trigger a multi-GB allocation / bad_alloc).
+    // Guard against corrupt tag counts BEFORE multiplying: BigTIFF counts
+    // are u64, so esz * count could wrap (e.g. count=2^61, esz=8 -> 0)
+    // and bypass a post-multiplication size check entirely.
     const size_t kMaxTagBytes = size_t(64) << 20;  // 64 MB
+    if (t.count > kMaxTagBytes / esz) return false;
     size_t total = esz * (size_t)t.count;
-    if (total > kMaxTagBytes) return false;
     std::vector<uint8_t> buf(total);
     // Classic entries carry a 4-byte value/offset field at +8; BigTIFF
     // entries an 8-byte one at +12 (count is 8 bytes).

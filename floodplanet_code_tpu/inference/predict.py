@@ -37,7 +37,7 @@ from floodplanet_code_tpu.config import load_experiment_config
 from floodplanet_code_tpu.data import build_dataset, generate_image_slice_object
 from floodplanet_code_tpu.geo import tiff
 from floodplanet_code_tpu.inference.sliding import sliding_window_predict
-from floodplanet_code_tpu.models import build_model
+from floodplanet_code_tpu.models import build_model, resolve_conv_impl
 from floodplanet_code_tpu.ops.metrics import (
     compute_binary_class_metrics,
     compute_metrics,
@@ -98,7 +98,7 @@ def load_model_for_eval(cfg, checkpoint_path: str, dataset):
         dataset.n_channels,
         dataset.n_classes,
         dtype=compute_dtype,
-        conv_impl=cfg.select("tpu.conv_impl", "xla"),
+        conv_impl=resolve_conv_impl(cfg),
         **(cfg.model.get("model_kwargs") or {}),
     )
     example = dataset.load_example(0, output_metadata=False)
@@ -239,19 +239,15 @@ def predict(
         )
         if per_crop_stats:
             # Reference semantics: one score per crop, reports average them.
-            for crop_cm in scene["crop_confusions"]:
-                crop_metrics = compute_metrics(
-                    jnp.asarray(crop_cm), ignore_index=ignore_index
-                )
-                f1 = float(crop_metrics["F1Score"])
-                iou = float(crop_metrics["JaccardIndex"])
-                image_stats_f1[scene["image_path"]].append(f1)
-                image_stats_iou[scene["image_path"]].append(iou)
-                region_stats_f1[scene["region"]].append(f1)
-                region_stats_iou[scene["region"]].append(iou)
+            ranked = [
+                compute_metrics(jnp.asarray(cm), ignore_index=ignore_index)
+                for cm in scene["crop_confusions"]
+            ]
         else:
-            f1 = float(scene_metrics["F1Score"])
-            iou = float(scene_metrics["JaccardIndex"])
+            ranked = [scene_metrics]
+        for metrics in ranked:
+            f1 = float(metrics["F1Score"])
+            iou = float(metrics["JaccardIndex"])
             image_stats_f1[scene["image_path"]].append(f1)
             image_stats_iou[scene["image_path"]].append(iou)
             region_stats_f1[scene["region"]].append(f1)

@@ -165,9 +165,19 @@ def make_handler(service: InferenceService):
             if self.path != "/infer":
                 self._reply(404, {"error": f"unknown path {self.path}"})
                 return
+            length = int(self.headers.get("Content-Length", 0))
             try:
-                length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
+            except ValueError as exc:
+                self._reply(400, {"error": f"bad JSON body: {exc}"})
+                return
+            # Validate request fields OUTSIDE the service try-block so a
+            # KeyError from deep inside the service is a 500, not a
+            # misleading 400 "missing field".
+            if "root" not in req:
+                self._reply(400, {"error": "missing field: 'root'"})
+                return
+            try:
                 result = service.infer_root(
                     root=req["root"],
                     split=req.get("split", "all"),
@@ -175,8 +185,6 @@ def make_handler(service: InferenceService):
                     dataset_name=req.get("dataset"),
                 )
                 self._reply(200, result)
-            except KeyError as exc:
-                self._reply(400, {"error": f"missing field: {exc}"})
             except FileNotFoundError as exc:
                 self._reply(404, {"error": str(exc)})
             except Exception as exc:  # surface, don't kill the server

@@ -285,11 +285,12 @@ def sliding_window_predict(
             widths = [metadata[i]["crop_params"].width for i in idxs]
             valid_mask = make_tile_valid_mask(heights, widths, tile_h, tile_w)
             sel = jnp.asarray(np.array(idxs, np.int32))
+            tiles = jnp.take(probs, sel, axis=0)
             pred_stitcher.add_batch(
                 key,
                 cp0.og_height,
                 cp0.og_width,
-                jnp.take(probs, sel, axis=0),
+                tiles,
                 offsets,
                 valid_mask,
                 geo_from=md0["image_path"],
@@ -297,7 +298,7 @@ def sliding_window_predict(
             if tile_cms is not None:
                 cms = np.asarray(
                     tile_cms(
-                        jnp.take(probs, sel, axis=0),
+                        tiles,
                         jnp.take(batch["target"], sel, axis=0),
                         valid_mask,
                     )

@@ -13,6 +13,7 @@ from floodplanet_code_tpu.models.water_seg import (
     LateFusionModel,
     WaterSegModel,
     build_model,
+    resolve_conv_impl,
 )
 
 __all__ = [
@@ -28,4 +29,5 @@ __all__ = [
     "LateFusionModel",
     "WaterSegModel",
     "build_model",
+    "resolve_conv_impl",
 ]

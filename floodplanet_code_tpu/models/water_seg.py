@@ -179,6 +179,19 @@ MODELS = {
 }
 
 
+def resolve_conv_impl(cfg) -> str:
+    """The DoubleConv implementation from config, gated by tpu.use_pallas.
+
+    ``tpu.use_pallas: false`` forces pure-XLA paths everywhere (its
+    documented contract), overriding ``tpu.conv_impl=pallas_fused`` — on
+    backends without Mosaic the fused kernel would silently run the
+    interpreter, orders of magnitude slower.
+    """
+    if not cfg.select("tpu.use_pallas", True):
+        return "xla"
+    return cfg.select("tpu.conv_impl", "xla")
+
+
 def build_model(
     model_name: str,
     in_channels: dict,

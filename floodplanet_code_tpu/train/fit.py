@@ -37,7 +37,7 @@ from floodplanet_code_tpu.data import (
     generate_image_slice_object,
 )
 from floodplanet_code_tpu.data.augment import TransformParams, augment_batch
-from floodplanet_code_tpu.models import build_model
+from floodplanet_code_tpu.models import build_model, resolve_conv_impl
 from floodplanet_code_tpu.ops.losses import (
     cross_entropy_ignore,
     dice_loss,
@@ -234,6 +234,13 @@ def make_eval_step(model, ignore_index: int):
     return eval_step
 
 
+def _steps_per_epoch(cfg, train_dataset, batch_size: int) -> int:
+    """Train steps per epoch: drop_last batching, limit_train_batches cap."""
+    steps = max(1, len(train_dataset) // batch_size)
+    limit = int(cfg.select("limit_train_batches") or 0)
+    return min(steps, limit) if limit else steps
+
+
 def default_experiment_dir(cfg: Config) -> str:
     pattern = cfg.select("run.dir", "./outputs/{date}/{name}/")
     name = cfg.select("run.name", "default")
@@ -331,7 +338,7 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
         train_dataset.n_channels,
         n_classes,
         dtype=compute_dtype,
-        conv_impl=cfg.select("tpu.conv_impl", "xla"),
+        conv_impl=resolve_conv_impl(cfg),
         **(cfg.model.get("model_kwargs") or {}),
     )
 
@@ -351,8 +358,9 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
         seed=cfg.seed_num or 0,
         schedule=cfg.select("lr_schedule", "constant"),
         # Cosine decays to 0 at the last step of the run (drop_last train
-        # batching: len//batch steps per epoch).
-        total_steps=cfg.n_epochs * max(1, len(train_dataset) // batch_size),
+        # batching: len//batch steps per epoch, capped by
+        # limit_train_batches so truncated runs still decay).
+        total_steps=cfg.n_epochs * _steps_per_epoch(cfg, train_dataset, batch_size),
         warmup_steps=int(cfg.select("lr_warmup_steps", 0) or 0),
         ema=float(cfg.select("ema_decay", 0.0) or 0.0) > 0,
     )

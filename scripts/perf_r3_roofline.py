@@ -66,21 +66,13 @@ def main():
           ca.get("bytes accessed", 0) / 1e9, "GB")
 
     # ---- per-instruction byte accounting over the entry computation ----
+    # Shared parser helpers live in analyze_hlo.py — one dtype table /
+    # shape regex to maintain.
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from analyze_hlo import shape_bytes
+
     m = re.search(r"ENTRY [^\{]+\{(.*?)\n\}", hlo, re.S)
     body = m.group(1)
-    dtb = {"f32": 4, "bf16": 2, "s32": 4, "u32": 4, "pred": 1, "s8": 1,
-           "u8": 1, "f16": 2, "s64": 8, "u64": 8, "f64": 8}
-    shape_re = re.compile(
-        r"(f32|bf16|s32|u32|pred|s8|u8|f16|s64|u64|f64)\[([0-9,]*)\]")
-
-    def shape_bytes(ts):
-        tot = 0
-        for dt, dims in shape_re.findall(ts):
-            n = 1
-            for d in (dims.split(",") if dims else []):
-                n *= int(d)
-            tot += n * dtb[dt]
-        return tot
 
     op_re = re.compile(r" ([a-z][\w\-]*)\(")
     sizes, opcodes, operands = {}, {}, {}

@@ -200,3 +200,19 @@ class TestTaskModels:
         )
         assert np.isfinite(flat).all()
         assert np.abs(flat).sum() > 0
+
+
+class TestResolveConvImpl:
+    def test_use_pallas_false_forces_xla(self):
+        from floodplanet_code_tpu.config import compose
+        from floodplanet_code_tpu.models import resolve_conv_impl
+
+        cfg = compose(
+            overrides=["tpu.conv_impl=pallas_fused", "tpu.use_pallas=false"]
+        )
+        assert resolve_conv_impl(cfg) == "xla"
+        cfg = compose(
+            overrides=["tpu.conv_impl=pallas_fused", "tpu.use_pallas=true"]
+        )
+        assert resolve_conv_impl(cfg) == "pallas_fused"
+        assert resolve_conv_impl(compose(overrides=[])) == "xla"

@@ -113,6 +113,31 @@ class TestBigTIFF:
         win = tiff.read_window(path, 37, 11, 50, 60)
         np.testing.assert_array_equal(win, arr[:, 37:87, 11:71])
 
+    def test_corrupt_tag_count_rejected(self, tmp_path, rng):
+        # BigTIFF counts are u64: a crafted count of 2^61 on an 8-byte
+        # type wraps esz*count to 0, which would bypass a post-multiply
+        # size guard and drive a 2^61-iteration over-read. The reader
+        # must bound count BEFORE multiplying and fail cleanly.
+        arr = rng.integers(0, 9, (8, 8)).astype(np.uint8)
+        path = str(tmp_path / "c.tif")
+        tiff.imwrite(path, arr, bigtiff=True)
+        with open(path, "rb") as fh:
+            data = bytearray(fh.read())
+        n = struct.unpack_from("<Q", data, 16)[0]
+        patched = False
+        for i in range(n):
+            off = 24 + 20 * i
+            tag, typ = struct.unpack_from("<HH", data, off)
+            if tag == 273:  # StripOffsets, LONG8 (esz 8)
+                struct.pack_into("<Q", data, off + 4, 1 << 61)
+                patched = True
+                break
+        assert patched
+        with open(path, "wb") as fh:
+            fh.write(data)
+        with pytest.raises(IOError):
+            tiff.imread(path)
+
     @pytest.mark.slow
     def test_auto_switch_past_4gb(self, tmp_path):
         # 66000x66000 uint8 = 4.36 GB: bigtiff=None must auto-switch to
