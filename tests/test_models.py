@@ -202,6 +202,28 @@ class TestTaskModels:
         assert np.abs(flat).sum() > 0
 
 
+class TestExampleTransformer:
+    def test_forward_and_gradients(self, rng):
+        # Parity: the reference ships a standalone transformer demo; ours
+        # is equivalent but actually executed in CI.
+        from floodplanet_code_tpu.models.example_transformer import (
+            ExampleTileTransformer,
+        )
+
+        model = ExampleTileTransformer(d_model=32, n_layers=1, patch=8)
+        x = jnp.asarray(rng.standard_normal((2, 32, 32, 4)).astype(np.float32))
+        variables = model.init(jax.random.key(0), x)
+        out = model.apply(variables, x)
+        assert out.shape == (2, 32)
+        grads = jax.grad(
+            lambda p: jnp.sum(model.apply({"params": p}, x) ** 2)
+        )(variables["params"])
+        flat = np.concatenate(
+            [np.asarray(g).ravel() for g in jax.tree.leaves(grads)]
+        )
+        assert np.isfinite(flat).all() and np.abs(flat).sum() > 0
+
+
 class TestResolveConvImpl:
     def test_use_pallas_false_forces_xla(self):
         from floodplanet_code_tpu.config import compose
