@@ -125,6 +125,26 @@ def main() -> dict:
     # feeding the bf16 train step).
     augmented = measure(TransformParams(dtype="bfloat16"))
 
+    # Inference throughput: the sliding-window engine's forward (softmax
+    # out, the tensor the stitcher consumes).
+    from floodplanet_code_tpu.train.flat import unflatten_train_state
+
+    nested = unflatten_train_state(state, flat_spec)
+    variables = {"params": nested.params}
+    if nested.batch_stats is not None:
+        variables["batch_stats"] = nested.batch_stats
+    from floodplanet_code_tpu.inference.sliding import make_predict_step
+
+    predict_step = make_predict_step(model)
+    probs = predict_step(variables, batch)
+    float(probs.sum())  # compile + sync
+    start = time.perf_counter()
+    n_inf = 20
+    for _ in range(n_inf):
+        probs = predict_step(variables, batch)
+    float(probs.sum())
+    infer_tps = n_inf * batch_size / (time.perf_counter() - start) / n_chips
+
     result = {
         "metric": f"512x512 PS train tiles/sec/chip (EF-UNet bf16, {platform})",
         "value": round(no_aug, 2),
@@ -134,6 +154,7 @@ def main() -> dict:
         "augmented_recipe_vs_baseline": round(
             augmented / REF_GPU_TILES_PER_SEC, 3
         ),
+        "inference_value": round(infer_tps, 2),
     }
     print(json.dumps(result))
     return result
