@@ -96,6 +96,11 @@ def _bwd(eps, axis_name, res, cotangents):
         n = n * jax.lax.psum(1, axis_name)
         sum_dz = jax.lax.psum(sum_dz, axis_name)
         sum_dz_xhat = jax.lax.psum(sum_dz_xhat, axis_name)
+    # Global (all-reduced) dscale/dbias: under shard_map's typed-AD
+    # (check_vma=True) replicated parameters require replicated
+    # cotangents, which these are after the psum — matching what AD
+    # derives for every other parameter (parallel/shard_step.py relies
+    # on this; no second grad psum happens outside).
     dscale = sum_dz_xhat
     dbias = sum_dz
     # dx = (scale * inv) * (dz - sum_dz/n - xhat * sum_dz_xhat/n)

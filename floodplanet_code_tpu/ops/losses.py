@@ -39,6 +39,7 @@ def cross_entropy_ignore(
     target: jnp.ndarray,
     ignore_index: int | None = None,
     sample_weight: jnp.ndarray | None = None,
+    axis_name: str | None = None,
 ) -> jnp.ndarray:
     """Mean softmax cross entropy with ignored pixels dropped.
 
@@ -47,6 +48,10 @@ def cross_entropy_ignore(
         target: [...] int array of class ids.
         ignore_index: target value excluded from the mean.
         sample_weight: optional broadcastable 0/1 weight (batch padding mask).
+        axis_name: bound mesh axis (shard_map/pmap) to psum the numerator
+            and valid-pixel count over — the global mean over all shards,
+            exactly matching this function on the unsharded batch even when
+            shards carry unequal numbers of ignored pixels.
     """
     n_classes = logits.shape[-1]
     log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
@@ -64,7 +69,11 @@ def cross_entropy_ignore(
     safe_target = jnp.clip(target, 0, n_classes - 1)
     picked = _pick_class(log_probs, safe_target)
     total = jnp.sum(valid)
-    loss = -jnp.sum(picked * valid) / jnp.maximum(total, 1.0)
+    num = -jnp.sum(picked * valid)
+    if axis_name is not None:
+        total = jax.lax.psum(total, axis_name)
+        num = jax.lax.psum(num, axis_name)
+    loss = num / jnp.maximum(total, 1.0)
     return jnp.where(total > 0, loss, 0.0)
 
 

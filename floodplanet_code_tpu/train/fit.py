@@ -333,12 +333,32 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
         "bfloat16": jnp.bfloat16,
         "float32": jnp.float32,
     }[cfg.select("tpu.compute_dtype", "bfloat16")]
+    spmd_impl = cfg.select("tpu.spmd_impl", "gspmd") or "gspmd"
+    if spmd_impl not in ("gspmd", "shard_map"):
+        raise NotImplementedError(
+            f'No implementation for tpu.spmd_impl "{spmd_impl}"'
+        )
+    if spmd_impl == "shard_map":
+        if spatial > 1:
+            raise ValueError(
+                "tpu.spmd_impl=shard_map is the data-parallel variant; "
+                "spatial_shards>1 needs gspmd"
+            )
+        if (cfg.select("loss.name", "ce") or "ce") != "ce":
+            raise NotImplementedError(
+                "tpu.spmd_impl=shard_map supports the default CE loss only"
+            )
     model = build_model(
         cfg.model.name,
         train_dataset.n_channels,
         n_classes,
         dtype=compute_dtype,
         conv_impl=resolve_conv_impl(cfg),
+        # Explicit SyncBN pmean for the shard_map step (the GSPMD step gets
+        # global BN statistics from sharded batch-axis reductions instead).
+        bn_axis_name=(
+            mesh.axis_names[0] if spmd_impl == "shard_map" else None
+        ),
         **(cfg.model.get("model_kwargs") or {}),
     )
 
@@ -388,8 +408,23 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
         transform_params = dataclasses.replace(transform_params, rotate_impl="shear")
     # Flat-packed state (train/flat.py): ~6-output train step instead of
     # ~200 — reclaims ~0.3 ms/output of runtime dispatch per step on TPU.
-    use_flat = bool(cfg.select("tpu.flat_state", True))
-    if use_flat:
+    # The shard_map variant operates on the nested state.
+    use_flat = bool(cfg.select("tpu.flat_state", True)) and spmd_impl != "shard_map"
+    if spmd_impl == "shard_map":
+        from floodplanet_code_tpu.parallel.shard_step import (
+            make_shard_train_step,
+        )
+
+        fstate, flat_spec = None, None
+        # Augmentation stays the separate GSPMD program below (identical
+        # randomness across step implementations).
+        train_step = make_shard_train_step(
+            model,
+            mesh,
+            ignore_index,
+            ema_decay=float(cfg.select("ema_decay", 0.0) or 0.0),
+        )
+    elif use_flat:
         from floodplanet_code_tpu.train.flat import (
             flatten_train_state,
             make_flat_train_step,
@@ -418,7 +453,14 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
             ema_decay=float(cfg.select("ema_decay", 0.0) or 0.0),
         )
     augment_step = make_augment_step(transform_params, ignore_index)
-    eval_step = make_eval_step(model, ignore_index)
+    if spmd_impl == "shard_map":
+        from floodplanet_code_tpu.parallel.shard_step import (
+            make_shard_eval_step,
+        )
+
+        eval_step = make_shard_eval_step(model, mesh, ignore_index)
+    else:
+        eval_step = make_eval_step(model, ignore_index)
 
     # Device-resident dataset cache (data/device_cache.py): scenes live in
     # HBM and crops are sliced/normalized on device, shrinking the per-step

@@ -82,6 +82,18 @@ class TestTrainingVariants:
         best = fit_model(cfg, overwrite_exp_dir=str(tmp_path / "ms"))
         assert best and os.path.exists(best)
 
+    def test_shard_map_spmd_fit(self, all_sensor_root, tmp_path):
+        """Full fit with the explicit-collective step implementation
+        (tpu.spmd_impl=shard_map, parallel/shard_step.py) on the 8-device
+        CPU mesh — checkpointing, eval, and augmentation included."""
+        cfg = compose(
+            overrides=BASE_OVERRIDES
+            + ["dataset.sensor=S1", "tpu.spmd_impl=shard_map"]
+        )
+        cfg.dataset["dataset_kwargs"] = {"root_dir": all_sensor_root}
+        best = fit_model(cfg, overwrite_exp_dir=str(tmp_path / "sm"))
+        assert best and os.path.exists(best)
+
     def test_weighted_ce_dice_fit(self, all_sensor_root, tmp_path):
         cfg = compose(
             overrides=BASE_OVERRIDES
