@@ -46,21 +46,77 @@ def make_mesh_2d(
     return Mesh(grid, axis_names)
 
 
+def make_hybrid_mesh(
+    n_pods: int,
+    dp_per_pod: int,
+    axis_names: tuple = ("pod", "data"),
+) -> Mesh:
+    """Hierarchical mesh: slow 'pod' axis (DCN, across hosts/slices) x fast
+    'data' axis (ICI, within a slice).
+
+    The batch shards jointly over both axes (P(('pod','data'))); giving the
+    partitioner the topology as two named axes lets it schedule the
+    gradient all-reduce hierarchically — reduce-scatter/all-gather over ICI
+    within each pod, one small cross-pod exchange over DCN — instead of
+    treating all devices as one flat ring. On real multi-host TPU the
+    device grid comes from mesh_utils.create_hybrid_device_mesh (which
+    orders devices so the fast axis is ICI-contiguous); elsewhere (CPU
+    tests, single host) a plain reshape of jax.devices() is the same thing.
+    """
+    n = n_pods * dp_per_pod
+    devices = jax.devices()
+    if n > len(devices):
+        raise ValueError(
+            f"hybrid mesh {n_pods}x{dp_per_pod} needs {n} devices, "
+            f"have {len(devices)}"
+        )
+    if jax.process_count() > 1:
+        from jax.experimental import mesh_utils
+
+        try:
+            grid = mesh_utils.create_hybrid_device_mesh(
+                (1, dp_per_pod), (n_pods, 1), devices=devices[:n]
+            )
+        except ValueError:
+            # Devices without slice topology (CPU multi-process clusters,
+            # single-slice pods): group by process instead — jax.devices()
+            # is process-ordered, so a plain reshape puts each process's
+            # (ICI-local) devices together on the fast axis.
+            grid = np.array(devices[:n]).reshape(n_pods, dp_per_pod)
+    else:
+        grid = np.array(devices[:n]).reshape(n_pods, dp_per_pod)
+    return Mesh(grid, axis_names)
+
+
+def batch_axes(mesh: Mesh) -> tuple:
+    """Every mesh axis the batch dimension shards over (all but 'space')."""
+    return tuple(a for a in mesh.axis_names if a != "space")
+
+
+def n_batch_shards(mesh: Mesh) -> int:
+    """Number of ways the global batch is split (product of batch axes)."""
+    n = 1
+    for a in batch_axes(mesh):
+        n *= mesh.shape[a]
+    return n
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch) axis across the data axis."""
-    return NamedSharding(mesh, P(mesh.axis_names[0]))
+    """Shard the leading (batch) axis across the batch axes."""
+    return NamedSharding(mesh, P(batch_axes(mesh)))
 
 
 def batch_shardings_for(mesh: Mesh) -> dict:
-    """Per-key shardings for a training batch on a 1-D or 2-D mesh.
+    """Per-key shardings for a training batch.
 
-    On a ('data', 'space') mesh, images/targets shard (batch, height);
-    per-sample leaves ('valid', 'mean', 'std') shard batch only.
+    The batch dimension shards jointly over every non-'space' axis — one
+    'data' axis, or ('pod', 'data') on a hierarchical DCN x ICI mesh. On a
+    mesh with a 'space' axis, images/targets additionally shard their
+    height; per-sample leaves ('valid', 'mean', 'std') shard batch only.
     """
-    data_axis = mesh.axis_names[0]
-    if len(mesh.axis_names) > 1:
-        space_axis = mesh.axis_names[1]
-        image_spec = P(data_axis, space_axis)
+    data_axis = batch_axes(mesh)
+    if "space" in mesh.axis_names:
+        image_spec = P(data_axis, "space")
     else:
         image_spec = P(data_axis)
     return {

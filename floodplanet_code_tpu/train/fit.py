@@ -52,8 +52,10 @@ from floodplanet_code_tpu.ops.metrics import (
 from floodplanet_code_tpu.parallel.mesh import (
     batch_sharding,
     batch_shardings_for,
+    make_hybrid_mesh,
     make_mesh,
     make_mesh_2d,
+    n_batch_shards,
     replicate_state,
 )
 from floodplanet_code_tpu.train.checkpoint import MONITOR_KEY, CheckpointManager
@@ -286,15 +288,28 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
     ignore_index = resolve_ignore_index(cfg.ignore_index, n_classes)
 
     spatial = int(cfg.select("tpu.spatial_shards", 1) or 1)
+    total = int(cfg.select("tpu.n_devices") or len(jax.devices()))
+    n_procs = multihost.process_count()
     if spatial > 1:
-        import jax as _jax
-
-        total = cfg.select("tpu.n_devices") or len(_jax.devices())
         mesh = make_mesh_2d(total // spatial, spatial)
+    elif (
+        n_procs > 1
+        and total > n_procs
+        and total % n_procs == 0
+        and cfg.select("tpu.spmd_impl", "gspmd") in (None, "gspmd")
+    ):
+        # Multi-host data parallelism: hierarchical ('pod', 'data') mesh so
+        # the partitioner schedules the gradient all-reduce as ICI
+        # reduce-scatter within each host/slice plus one small DCN
+        # cross-pod exchange (mesh.make_hybrid_mesh). The batch shards
+        # jointly over both axes — same example-to-device assignment as the
+        # flat mesh, so per-host loading (BatchLoader process_shard) is
+        # unchanged. (shard_map spmd_impl needs the flat 1-D mesh.)
+        mesh = make_hybrid_mesh(n_procs, total // n_procs)
     else:
         mesh = make_mesh(cfg.select("tpu.n_devices"))
     data_sharding = batch_shardings_for(mesh)
-    n_data = mesh.shape[mesh.axis_names[0]]
+    n_data = n_batch_shards(mesh)
     # The global batch must split evenly over both the data-axis shards and
     # the host processes (each host loads batch/process_count examples).
     divisor = n_data * multihost.process_count() // (

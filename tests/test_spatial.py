@@ -63,6 +63,55 @@ class TestSpatialMesh:
             atol=0.5,
         )
 
+    def test_hybrid_pod_mesh_matches_unsharded(self, rng):
+        """Hierarchical ('pod','data','space') mesh — batch sharded jointly
+        over pod x data (the DCN x ICI layout), height over space — must
+        match the unsharded step."""
+        from jax.sharding import Mesh
+
+        model = build_model("ms_model", {"ms_image": 2}, 3, dtype=jnp.float32)
+        batch = tiny_batch(rng, b=4, hw=32)
+        step = make_train_step(model, 0, NO_AUG)
+
+        state_ref = create_train_state(model, batch, lr=1e-3, seed=0)
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        state_ref, logs_ref = step(state_ref, jb, jax.random.key(0))
+
+        mesh = Mesh(
+            np.array(jax.devices()).reshape(2, 2, 2), ("pod", "data", "space")
+        )
+        shardings = batch_shardings_for(mesh)
+        state_h = create_train_state(model, batch, lr=1e-3, seed=0)
+        state_h = replicate_state(state_h, mesh)
+        sb = {
+            k: jax.device_put(jnp.asarray(v), shardings[k])
+            for k, v in batch.items()
+        }
+        state_h, logs_h = step(state_h, sb, jax.random.key(0))
+
+        assert float(logs_ref["loss"]) == pytest.approx(
+            float(logs_h["loss"]), rel=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(logs_ref["confusion"]),
+            np.asarray(logs_h["confusion"]),
+            atol=0.5,
+        )
+
+    def test_hybrid_mesh_helpers(self):
+        from floodplanet_code_tpu.parallel.mesh import (
+            make_hybrid_mesh,
+            n_batch_shards,
+        )
+
+        mesh = make_hybrid_mesh(2, 4)
+        assert mesh.shape == {"pod": 2, "data": 4}
+        assert n_batch_shards(mesh) == 8
+        spec = batch_shardings_for(mesh)["image"].spec
+        assert spec == jax.sharding.PartitionSpec(("pod", "data"))
+        with pytest.raises(ValueError):
+            make_hybrid_mesh(4, 4)
+
     def test_sp_eval_step(self, rng):
         model = build_model("ms_model", {"ms_image": 2}, 3, dtype=jnp.float32)
         batch = tiny_batch(rng, b=4, hw=32)
