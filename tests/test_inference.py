@@ -325,6 +325,54 @@ class TestEndToEndInference:
                 probs.sum(axis=-1), 1.0, atol=1e-3
             )
 
+    def test_export_stablehlo_roundtrip(self, trained_exp, tmp_path, rng):
+        """AOT export -> deserialize -> call matches the live predict step
+        exactly (weights baked in as constants)."""
+        import jax
+
+        from floodplanet_code_tpu.config import load_experiment_config
+        from floodplanet_code_tpu.data import (
+            build_dataset,
+            generate_image_slice_object,
+        )
+        from floodplanet_code_tpu.inference.predict import load_model_for_eval
+        from floodplanet_code_tpu.inference.sliding import make_predict_step
+        from floodplanet_code_tpu.tools.export_model import (
+            export_checkpoint,
+            load_exported,
+        )
+
+        exp_dir, best = trained_exp
+        manifest = export_checkpoint(
+            best, out_path=str(tmp_path / "model"), batch_size=2
+        )
+        assert os.path.exists(manifest["artifact"])
+        assert manifest["inputs"]["image"]["shape"] == [2, 32, 32, 4]
+
+        cfg = load_experiment_config(exp_dir)
+        dataset = build_dataset(
+            cfg.dataset.name,
+            "test",
+            generate_image_slice_object(32, stride=32),
+            sensor=cfg.dataset.sensor,
+            channels=cfg.dataset.channels,
+            norm_mode=cfg.norm_mode,
+            eval_region=cfg.eval_region,
+            ignore_index=cfg.ignore_index,
+            **(cfg.dataset.get("dataset_kwargs") or {}),
+        )
+        model, variables = load_model_for_eval(cfg, best, dataset)
+        batch = {
+            "image": jnp.asarray(
+                rng.standard_normal((2, 32, 32, 4)).astype(np.float32)
+            )
+        }
+        live = np.asarray(make_predict_step(model)(variables, batch))
+        aot = np.asarray(load_exported(manifest["artifact"])(batch))
+        np.testing.assert_allclose(aot, live, rtol=1e-6, atol=1e-6)
+        # The artifact runs standalone — no model code, no checkpoint.
+        assert manifest["n_classes"] == live.shape[-1]
+
     def test_serve_daemon(self, trained_exp, synthetic_csdap_root, tmp_path):
         """The HTTP serving daemon: health, cold request, warm request."""
         import threading
