@@ -409,6 +409,16 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
         latest = manager.latest_epoch
         start_epoch = 0 if latest is None else latest + 1
         print(f"[fit] resumed from {manager.latest_model_path} (epoch {start_epoch})")
+        if start_epoch >= cfg.n_epochs:
+            # Fully-trained experiment: return without building the device
+            # cache, compiling steps, or opening writers — a re-invoked
+            # (watchdog-retried / idempotent-driver) fit costs nothing and
+            # touches no further device state.
+            print(
+                f"[fit] nothing to do: epoch {start_epoch} >= "
+                f"n_epochs {cfg.n_epochs}"
+            )
+            return manager.best_model_path or ""
 
     import dataclasses
 
