@@ -125,24 +125,31 @@ def main() -> dict:
     # feeding the bf16 train step).
     augmented = measure(TransformParams(dtype="bfloat16"))
 
-    # Inference throughput: the sliding-window engine's forward (softmax
-    # out, the tensor the stitcher consumes).
+    # Inference throughput: the sliding-window engine's forward (softmax,
+    # the tensor the stitcher consumes). Reduced to a scalar INSIDE jit:
+    # the softmax's HBM write is ~0.03 ms of real cost, while returning
+    # the lane-padded [B,H,W,3] tensor through the remote-TPU tunnel
+    # inflates every call by 30-130 ms of pure measurement artifact
+    # (PERF.md methodology); production consumes it on device
+    # (inference/stitcher.stitch_batch).
+    import jax
+
+    from floodplanet_code_tpu.inference.sliding import make_predict_step
     from floodplanet_code_tpu.train.flat import unflatten_train_state
 
     nested = unflatten_train_state(state, flat_spec)
     variables = {"params": nested.params}
     if nested.batch_stats is not None:
         variables["batch_stats"] = nested.batch_stats
-    from floodplanet_code_tpu.inference.sliding import make_predict_step
-
     predict_step = make_predict_step(model)
-    probs = predict_step(variables, batch)
-    float(probs.sum())  # compile + sync
+    infer_probe = jax.jit(lambda v, b: predict_step(v, b).sum())
+    acc = infer_probe(variables, batch)
+    float(acc)  # compile + sync
     start = time.perf_counter()
     n_inf = 20
     for _ in range(n_inf):
-        probs = predict_step(variables, batch)
-    float(probs.sum())
+        acc = infer_probe(variables, batch)
+    float(acc)
     infer_tps = n_inf * batch_size / (time.perf_counter() - start) / n_chips
 
     result = {
