@@ -170,8 +170,9 @@ def device_prefetch(iterator, sharding=None, size: int = 2):
 
     ``sharding`` is either one jax.sharding.Sharding applied to every array
     leaf, or a dict of key -> Sharding (see
-    parallel.mesh.batch_shardings_for, used for 2-D data x space meshes);
-    python-object leaves (metadata) pass through untouched.
+    parallel.mesh.batch_shardings_for, used for data x space and
+    hierarchical pod x data meshes); python-object leaves (metadata) pass
+    through untouched.
     """
     import jax
 
