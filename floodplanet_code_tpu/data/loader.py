@@ -74,7 +74,7 @@ class BatchLoader:
                 )
             if not 0 <= pid < pcount:
                 raise ValueError(f"bad process_shard {process_shard}")
-        self._rng = np.random.default_rng(seed)
+        self._seed = 0 if seed is None else int(seed)
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -83,10 +83,20 @@ class BatchLoader:
             return n // self.batch_size
         return -(-n // self.batch_size)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the epoch whose shuffle order the next iteration uses.
+
+        The order is a pure function of (seed, epoch) — not of how many
+        epochs this loader object has already served — so a fit resumed at
+        epoch k iterates exactly the order the uninterrupted run would
+        have (train.fit calls this every epoch; the DistributedSampler
+        pattern)."""
+        self._epoch = int(epoch)
+
     def _epoch_order(self) -> np.ndarray:
         order = np.arange(len(self.dataset))
         if self.shuffle:
-            self._rng.shuffle(order)
+            np.random.default_rng((self._seed, self._epoch)).shuffle(order)
         self._epoch += 1
         return order
 

@@ -543,7 +543,10 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
             print(f"[fit] device data cache unavailable ({exc}); host loader")
             train_cache = valid_cache = None
 
-    def _device_batches(cache, builder, dataset, shuffle, drop_last, rng_np):
+    def _device_batches(cache, builder, dataset, shuffle, drop_last, epoch):
+        # Shuffle order is a pure function of (seed, epoch): a resumed fit
+        # iterates exactly the order the uninterrupted run would have.
+        rng_np = np.random.default_rng((cfg.seed_num or 0, epoch))
         n = len(dataset)
         order = rng_np.permutation(n) if shuffle else np.arange(n)
         for start in range(0, n, batch_size):
@@ -560,7 +563,6 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
             batch["valid"] = jax.device_put(valid, data_sharding["valid"])
             yield batch
 
-    cache_rng = np.random.default_rng(cfg.seed_num or 0)
 
     from tensorboardX import SummaryWriter
 
@@ -604,7 +606,7 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
     log_image_iter = cfg.select("log_image_iter") or 0
     to_rgb_fn = train_dataset.to_RGB
 
-    rng = jax.random.key(cfg.seed_num or 0)
+    base_rng = jax.random.key(cfg.seed_num or 0)
     profiler_mode = cfg.select("profiler")
     limit_train = cfg.select("limit_train_batches")
     limit_val = cfg.select("limit_val_batches")
@@ -613,6 +615,11 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
     best_path = None
     for epoch in range(start_epoch, cfg.n_epochs):
         # ---- train -------------------------------------------------------
+        # Per-epoch derived rng (augmentation + step noise): with the
+        # (seed, epoch) shuffle order above, a resumed fit replays the
+        # uninterrupted run's randomness exactly (tests/test_train.py).
+        rng = jax.random.fold_in(base_rng, epoch)
+        train_loader.set_epoch(epoch)
         epoch_start = time.time()
         tracing = False
         if profiler_mode == "advanced" and epoch == start_epoch:
@@ -630,7 +637,7 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
         losses = []
         train_batches = (
             _device_batches(
-                train_cache, train_builder, train_dataset, True, True, cache_rng
+                train_cache, train_builder, train_dataset, True, True, epoch
             )
             if train_cache is not None
             else device_prefetch(
@@ -702,7 +709,7 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
         n_val_batches = 0
         val_batches = (
             _device_batches(
-                valid_cache, valid_builder, valid_dataset, False, False, cache_rng
+                valid_cache, valid_builder, valid_dataset, False, False, epoch
             )
             if valid_cache is not None
             else device_prefetch(

@@ -291,3 +291,84 @@ class TestEndToEnd:
         fit_model(cfg2, overwrite_exp_dir=exp_dir)
         mgr = CheckpointManager(exp_dir)
         assert mgr.latest_epoch == 1
+
+    def test_resume_is_deterministic(self, synthetic_csdap_root, tmp_path):
+        """Interrupted-then-resumed training equals uninterrupted training:
+        the epoch shuffle order and augmentation rng are pure functions of
+        (seed, epoch), so a fit resumed at epoch 1 replays exactly what the
+        straight 2-epoch run did."""
+        import numpy as np
+
+        from floodplanet_code_tpu.train.checkpoint import load_checkpoint
+        from floodplanet_code_tpu.train.state import create_train_state
+
+        overrides = [
+            "dataset.sensor=PS",
+            "eval_region=RegionA",
+            "crop_height=32",
+            "crop_width=32",
+            "crop_stride=32",
+            "batch_size=8",
+            "n_epochs=2",
+            "n_workers=2",
+            "limit_train_batches=3",
+            "limit_val_batches=1",
+            "tpu.compute_dtype=float32",
+            "transforms.rotate.active=false",  # hflip/vflip stay ON: the
+            # augmentation rng stream is part of what must replay
+            "save_topk_models=2",
+        ]
+
+        def params_of(exp_dir):
+            import glob
+
+            from floodplanet_code_tpu.config import load_experiment_config
+            from floodplanet_code_tpu.data import (
+                build_dataset,
+                generate_image_slice_object,
+            )
+            from floodplanet_code_tpu.inference.predict import (
+                load_model_for_eval,
+            )
+
+            cfg = load_experiment_config(exp_dir)
+            ds = build_dataset(
+                cfg.dataset.name,
+                "valid",
+                generate_image_slice_object(32, stride=32),
+                sensor=cfg.dataset.sensor,
+                channels=cfg.dataset.channels,
+                norm_mode=cfg.norm_mode,
+                eval_region=cfg.eval_region,
+                ignore_index=cfg.ignore_index,
+                **(cfg.dataset.get("dataset_kwargs") or {}),
+            )
+            ckpts = sorted(
+                glob.glob(os.path.join(exp_dir, "checkpoints", "*epoch=01*"))
+            )
+            assert ckpts, "no epoch-1 checkpoint"
+            _, variables = load_model_for_eval(cfg, ckpts[0], ds)
+            return variables
+
+        # Straight 2-epoch run.
+        cfg = compose(overrides=overrides)
+        cfg.dataset["dataset_kwargs"] = {"root_dir": synthetic_csdap_root}
+        dir_a = str(tmp_path / "straight")
+        fit_model(cfg, overwrite_exp_dir=dir_a)
+
+        # 1 epoch, then resume to 2.
+        cfg1 = compose(overrides=overrides + ["n_epochs=1"])
+        cfg1.dataset["dataset_kwargs"] = {"root_dir": synthetic_csdap_root}
+        dir_b = str(tmp_path / "resumed")
+        fit_model(cfg1, overwrite_exp_dir=dir_b)
+        cfg2 = compose(overrides=overrides)
+        cfg2.dataset["dataset_kwargs"] = {"root_dir": synthetic_csdap_root}
+        fit_model(cfg2, overwrite_exp_dir=dir_b)
+
+        va, vb = params_of(dir_a), params_of(dir_b)
+        import jax
+
+        for la, lb in zip(jax.tree.leaves(va), jax.tree.leaves(vb)):
+            np.testing.assert_allclose(
+                np.asarray(la), np.asarray(lb), rtol=0, atol=1e-6
+            )
