@@ -132,8 +132,6 @@ def main() -> dict:
     # inflates every call by 30-130 ms of pure measurement artifact
     # (PERF.md methodology); production consumes it on device
     # (inference/stitcher.stitch_batch).
-    import jax
-
     from floodplanet_code_tpu.inference.sliding import make_predict_step
     from floodplanet_code_tpu.train.flat import unflatten_train_state
 

@@ -31,7 +31,7 @@ from floodplanet_code_tpu.inference.stitcher import (
 from floodplanet_code_tpu.ops.metrics import confusion_from_preds
 
 
-_MODALITY_KEYS = ("dem", "slope", "preflood", "pre_post_difference", "hand")
+from floodplanet_code_tpu.models.water_seg import AUX_FEATURE_KEYS
 
 
 def _d4_elements(square: bool):
@@ -84,7 +84,7 @@ def make_predict_step(model, tta: bool = False):
     @jax.jit
     def predict_step(variables: dict, batch: dict):
         model_batch = {"image": batch["image"]}
-        for key in _MODALITY_KEYS:
+        for key in AUX_FEATURE_KEYS:
             if key in batch:
                 model_batch[key] = batch[key]
         if not tta:

@@ -78,14 +78,31 @@ def make_hybrid_mesh(
                 (1, dp_per_pod), (n_pods, 1), devices=devices[:n]
             )
         except ValueError:
-            # Devices without slice topology (CPU multi-process clusters,
-            # single-slice pods): group by process instead — jax.devices()
-            # is process-ordered, so a plain reshape puts each process's
-            # (ICI-local) devices together on the fast axis.
+            # Devices without slice topology (CPU multi-process clusters):
+            # group by process instead — jax.devices() is process-ordered,
+            # so a plain reshape puts each process's (ICI-local) devices
+            # together on the fast axis. Callers that want the slice-level
+            # hierarchy should size n_pods with detect_n_pods(), which
+            # makes the granule count match on sliced TPU topologies.
+            print(
+                f"[mesh] no slice topology for {n_pods}x{dp_per_pod} "
+                "hybrid mesh; grouping the pod axis by process"
+            )
             grid = np.array(devices[:n]).reshape(n_pods, dp_per_pod)
     else:
         grid = np.array(devices[:n]).reshape(n_pods, dp_per_pod)
     return Mesh(grid, axis_names)
+
+
+def detect_n_pods(devices=None) -> int:
+    """Number of DCN granules: distinct TPU slices when the runtime exposes
+    them (multi-slice pods have several hosts per slice — the slice, not
+    the host, is the ICI island), else the process count."""
+    devices = list(jax.devices() if devices is None else devices)
+    slices = {getattr(d, "slice_index", None) for d in devices}
+    if None not in slices and len(slices) > 1:
+        return len(slices)
+    return jax.process_count()
 
 
 def batch_axes(mesh: Mesh) -> tuple:

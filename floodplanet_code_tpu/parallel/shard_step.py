@@ -46,8 +46,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from floodplanet_code_tpu.data.augment import TransformParams, augment_batch
 from floodplanet_code_tpu.ops.losses import cross_entropy_ignore
 from floodplanet_code_tpu.ops.metrics import confusion_from_logits
-
-_MODALITY_KEYS = ("dem", "slope", "preflood", "pre_post_difference", "hand")
+from floodplanet_code_tpu.models.water_seg import AUX_FEATURE_KEYS
 
 
 def make_shard_train_step(
@@ -93,7 +92,7 @@ def make_shard_train_step(
             )
 
         model_batch = {"image": image}
-        for key in _MODALITY_KEYS:
+        for key in AUX_FEATURE_KEYS:
             if key in batch:
                 model_batch[key] = batch[key]
 
@@ -165,7 +164,7 @@ def make_shard_eval_step(model, mesh: Mesh, ignore_index: int):
 
     def local_step(state, batch):
         model_batch = {"image": batch["image"]}
-        for key in _MODALITY_KEYS:
+        for key in AUX_FEATURE_KEYS:
             if key in batch:
                 model_batch[key] = batch[key]
         variables = {

@@ -50,6 +50,7 @@ def export_checkpoint(
     tta: bool = False,
     eval_dataset_name: str | None = None,
     eval_dataset_split: str = "test",
+    platforms: tuple = ("cpu", "tpu", "cuda"),
 ) -> dict:
     """Export ``checkpoint_path`` to StableHLO; returns the manifest dict.
 
@@ -103,7 +104,12 @@ def export_checkpoint(
     def forward(batch: dict):
         return predict_step(variables, batch)
 
-    exported = jax_export.export(jax.jit(forward))(shapes)
+    # Without platforms= the artifact is pinned to the exporting backend;
+    # lowering for all three keeps it genuinely portable (the lowered
+    # StableHLO carries per-platform branches where codegen differs).
+    exported = jax_export.export(
+        jax.jit(forward), platforms=tuple(platforms)
+    )(shapes)
     blob = exported.serialize()
 
     if out_path is None:
@@ -127,6 +133,7 @@ def export_checkpoint(
         },
         "output": "softmax probabilities [batch, height, width, n_classes]",
         "n_classes": int(dataset.n_classes),
+        "platforms": list(platforms),
         "tta": bool(tta),
         "model": cfg.model.name,
         "checkpoint": os.path.normpath(checkpoint_path),
@@ -154,6 +161,12 @@ def main(argv=None):
     parser.add_argument("--width", type=int, default=None)
     parser.add_argument("--tta", action="store_true")
     parser.add_argument("--eval_dataset_name", type=str, default=None)
+    parser.add_argument(
+        "--platforms",
+        nargs="+",
+        default=["cpu", "tpu", "cuda"],
+        help="XLA backends the artifact must run on",
+    )
     args = parser.parse_args(argv)
     manifest = export_checkpoint(
         args.checkpoint_path,
@@ -163,6 +176,7 @@ def main(argv=None):
         width=args.width,
         tta=args.tta,
         eval_dataset_name=args.eval_dataset_name,
+        platforms=tuple(args.platforms),
     )
     print(json.dumps(manifest, indent=2))
     return manifest

@@ -38,6 +38,7 @@ from floodplanet_code_tpu.data import (
 )
 from floodplanet_code_tpu.data.augment import TransformParams, augment_batch
 from floodplanet_code_tpu.models import build_model, resolve_conv_impl
+from floodplanet_code_tpu.models.water_seg import AUX_FEATURE_KEYS
 from floodplanet_code_tpu.ops.losses import (
     cross_entropy_ignore,
     dice_loss,
@@ -52,6 +53,7 @@ from floodplanet_code_tpu.ops.metrics import (
 from floodplanet_code_tpu.parallel.mesh import (
     batch_sharding,
     batch_shardings_for,
+    detect_n_pods,
     make_hybrid_mesh,
     make_mesh,
     make_mesh_2d,
@@ -165,7 +167,7 @@ def make_train_step(
             )
 
         model_batch = {"image": image}
-        for key in ("dem", "slope", "preflood", "pre_post_difference", "hand"):
+        for key in AUX_FEATURE_KEYS:
             if key in batch:
                 model_batch[key] = batch[key]
 
@@ -211,7 +213,7 @@ def make_eval_step(model, ignore_index: int):
     @jax.jit
     def eval_step(state: TrainState, batch: dict):
         model_batch = {"image": batch["image"]}
-        for key in ("dem", "slope", "preflood", "pre_post_difference", "hand"):
+        for key in AUX_FEATURE_KEYS:
             if key in batch:
                 model_batch[key] = batch[key]
         variables = {
@@ -289,7 +291,9 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
 
     spatial = int(cfg.select("tpu.spatial_shards", 1) or 1)
     total = int(cfg.select("tpu.n_devices") or len(jax.devices()))
-    n_procs = multihost.process_count()
+    # DCN granules: TPU slices when the runtime exposes them (multi-slice
+    # pods have several hosts per slice), else processes.
+    n_procs = detect_n_pods() if multihost.process_count() > 1 else 1
     if spatial > 1:
         mesh = make_mesh_2d(total // spatial, spatial)
     elif (
@@ -383,7 +387,7 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
     example_batch = {
         k: np.asarray(v)[None]
         for k, v in example.items()
-        if k in ("image", "dem", "slope", "preflood", "pre_post_difference", "hand")
+        if k in ("image", *AUX_FEATURE_KEYS)
     }
     state = create_train_state(
         model,

@@ -34,6 +34,7 @@ import optax
 from flax import struct
 from jax.flatten_util import ravel_pytree
 
+from floodplanet_code_tpu.models.water_seg import AUX_FEATURE_KEYS
 from floodplanet_code_tpu.train.state import TrainState
 
 
@@ -190,7 +191,7 @@ def make_flat_train_step(
                 rng, image, target, transform_params, ignore_index
             )
         model_batch = {"image": image}
-        for key in ("dem", "slope", "preflood", "pre_post_difference", "hand"):
+        for key in AUX_FEATURE_KEYS:
             if key in batch:
                 model_batch[key] = batch[key]
 

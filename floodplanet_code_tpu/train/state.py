@@ -17,6 +17,8 @@ import optax
 from flax import struct
 from flax.training import train_state
 
+from floodplanet_code_tpu.models.water_seg import AUX_FEATURE_KEYS
+
 
 class TrainState(train_state.TrainState):
     batch_stats: Any = struct.field(default=None)
@@ -86,7 +88,7 @@ def create_train_state(
     init_batch = {
         k: jnp.asarray(v)
         for k, v in example_batch.items()
-        if k in ("image", "dem", "slope", "preflood", "pre_post_difference", "hand")
+        if k in ("image", *AUX_FEATURE_KEYS)
     }
     variables = jax.jit(model.init, static_argnames=("train",))(
         rng, init_batch, train=False

@@ -348,6 +348,8 @@ class TestEndToEndInference:
         )
         assert os.path.exists(manifest["artifact"])
         assert manifest["inputs"]["image"]["shape"] == [2, 32, 32, 4]
+        # Portable across backends, not pinned to the exporting one.
+        assert {"cpu", "tpu"} <= set(manifest["platforms"])
 
         cfg = load_experiment_config(exp_dir)
         dataset = build_dataset(
