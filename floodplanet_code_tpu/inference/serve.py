@@ -35,15 +35,52 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
 class InferenceService:
-    """Holds the warm model and runs per-root inference requests."""
+    """Holds the warm model and runs per-root inference requests.
 
-    def __init__(self, checkpoint_path: str, tta: bool = False):
+    Two sources, exactly one of which must be given:
+    - ``checkpoint_path``: restore + trace the live model (jit compile on
+      the first request);
+    - ``artifact_path``: an AOT StableHLO export (tools/export_model.py,
+      living under ``<exp>/export/``) — the frozen predict step runs as-is,
+      no model code is traced and the weights are inside the artifact. TTA
+      and tile/batch shape were fixed at export time (the JSON manifest
+      next to the artifact records them; requests are validated against
+      it).
+    """
+
+    def __init__(
+        self,
+        checkpoint_path: str | None = None,
+        tta: bool = False,
+        artifact_path: str | None = None,
+    ):
         from floodplanet_code_tpu.config import load_experiment_config
 
+        if (checkpoint_path is None) == (artifact_path is None):
+            raise ValueError(
+                "give exactly one of checkpoint_path / artifact_path"
+            )
         self.checkpoint_path = checkpoint_path
+        self.artifact_path = artifact_path
+        self.manifest = None
+        if artifact_path is not None:
+            base = os.path.normpath(artifact_path)
+            if base.endswith(".stablehlo"):
+                base = base[: -len(".stablehlo")]
+            with open(base + ".json") as handle:
+                self.manifest = json.load(handle)
+            if tta:
+                raise ValueError(
+                    "--tta is fixed at export time for artifacts "
+                    f"(this one has tta={self.manifest['tta']})"
+                )
+            tta = bool(self.manifest["tta"])
+            source = artifact_path
+        else:
+            source = checkpoint_path
         self.tta = tta
         self.experiment_dir = os.path.dirname(
-            os.path.dirname(os.path.normpath(checkpoint_path))
+            os.path.dirname(os.path.normpath(source))
         )
         self.cfg = load_experiment_config(self.experiment_dir)
         self._lock = threading.Lock()  # one device program at a time
@@ -57,11 +94,34 @@ class InferenceService:
 
         key = (dataset.n_channels, dataset.n_classes)
         if self._warm is None or self._warm_key != key:
-            model, variables = load_model_for_eval(
-                self.cfg, self.checkpoint_path, dataset
-            )
-            step = make_predict_step(model, tta=self.tta)
-            self._warm = (model, variables, step)
+            if self.artifact_path is not None:
+                from floodplanet_code_tpu.tools.export_model import (
+                    load_exported,
+                )
+
+                call = load_exported(self.artifact_path)
+                inputs = self.manifest["inputs"]
+
+                def step(variables, batch, _call=call, _inputs=inputs):
+                    feed = {}
+                    for name, spec in _inputs.items():
+                        got = list(batch[name].shape)
+                        if got != spec["shape"]:
+                            raise ValueError(
+                                f"artifact expects {name} {spec['shape']}, "
+                                f"request produced {got} — re-export with "
+                                "matching batch/tile shape"
+                            )
+                        feed[name] = batch[name]
+                    return _call(feed)
+
+                self._warm = (None, {}, step)
+            else:
+                model, variables = load_model_for_eval(
+                    self.cfg, self.checkpoint_path, dataset
+                )
+                step = make_predict_step(model, tta=self.tta)
+                self._warm = (model, variables, step)
             self._warm_key = key
         return self._warm
 
@@ -92,6 +152,11 @@ class InferenceService:
             kwargs = dict(run_cfg.dataset.get("dataset_kwargs") or {})
             kwargs["root_dir"] = root
             run_cfg.dataset["dataset_kwargs"] = kwargs
+            if self.manifest is not None:
+                # The artifact's batch/tile shape is frozen; feed exactly it.
+                run_cfg.batch_size = int(
+                    self.manifest["inputs"]["image"]["shape"][0]
+                )
             # Probe dataset (same non-overlap tiling infer() uses) to warm
             # the model for this channel/class shape.
             slice_params = generate_image_slice_object(
@@ -158,6 +223,7 @@ def make_handler(service: InferenceService):
                     "devices": len(jax.devices()),
                     "model_loaded": service.model_loaded,
                     "checkpoint": service.checkpoint_path,
+                    "artifact": service.artifact_path,
                 },
             )
 
@@ -197,13 +263,16 @@ def make_handler(service: InferenceService):
 
 
 def serve(
-    checkpoint_path: str,
+    checkpoint_path: str | None = None,
     host: str = "127.0.0.1",
     port: int = 8765,
     tta: bool = False,
+    artifact_path: str | None = None,
 ) -> ThreadingHTTPServer:
     """Build the HTTP server (caller runs serve_forever())."""
-    service = InferenceService(checkpoint_path, tta=tta)
+    service = InferenceService(
+        checkpoint_path, tta=tta, artifact_path=artifact_path
+    )
     server = ThreadingHTTPServer((host, port), make_handler(service))
     server.service = service  # exposed for tests
     return server
@@ -213,7 +282,14 @@ def main(argv=None):
     parser = argparse.ArgumentParser(
         description="Long-lived flood-mask inference server."
     )
-    parser.add_argument("checkpoint_path", type=str)
+    parser.add_argument("checkpoint_path", type=str, nargs="?", default=None)
+    parser.add_argument(
+        "--artifact",
+        type=str,
+        default=None,
+        help="Serve an AOT StableHLO export (tools/export_model.py) "
+        "instead of a checkpoint.",
+    )
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8765)
     parser.add_argument(
@@ -222,10 +298,16 @@ def main(argv=None):
         help="Dihedral test-time augmentation on every request.",
     )
     args = parser.parse_args(argv)
-    server = serve(args.checkpoint_path, args.host, args.port, tta=args.tta)
+    server = serve(
+        args.checkpoint_path,
+        args.host,
+        args.port,
+        tta=args.tta,
+        artifact_path=args.artifact,
+    )
     print(
         f"[serve] listening on http://{args.host}:{server.server_address[1]} "
-        f"(checkpoint {args.checkpoint_path})"
+        f"({'artifact ' + args.artifact if args.artifact else 'checkpoint ' + str(args.checkpoint_path)})"
     )
     try:
         server.serve_forever()

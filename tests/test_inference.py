@@ -375,6 +375,52 @@ class TestEndToEndInference:
         # The artifact runs standalone — no model code, no checkpoint.
         assert manifest["n_classes"] == live.shape[-1]
 
+    def test_serve_from_stablehlo_artifact(
+        self, trained_exp, synthetic_csdap_root, tmp_path
+    ):
+        """The serving daemon running a frozen AOT export: no checkpoint
+        restore, no model tracing — the artifact's step is fed directly."""
+        import threading
+        import urllib.request
+
+        from floodplanet_code_tpu.inference.serve import serve
+        from floodplanet_code_tpu.tools.export_model import export_checkpoint
+
+        exp_dir, best = trained_exp
+        manifest = export_checkpoint(best, batch_size=8)
+
+        server = serve(artifact_path=manifest["artifact"], port=0)
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        port = server.server_address[1]
+        try:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/infer",
+                data=json.dumps(
+                    {
+                        "root": synthetic_csdap_root,
+                        "split": "test",
+                        "save_dir": str(tmp_path / "artifact_masks"),
+                    }
+                ).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=600) as r:
+                out = json.loads(r.read())
+            assert out["written"], out
+            assert all(os.path.exists(p) for p in out["written"])
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=30
+            ) as r:
+                health = json.loads(r.read())
+            assert health["artifact"] == manifest["artifact"]
+            assert health["checkpoint"] is None
+        finally:
+            server.shutdown()
+        # TTA is frozen at export time: asking for it again must fail.
+        with pytest.raises(ValueError):
+            serve(artifact_path=manifest["artifact"], port=0, tta=True)
+
     def test_serve_daemon(self, trained_exp, synthetic_csdap_root, tmp_path):
         """The HTTP serving daemon: health, cold request, warm request."""
         import threading
