@@ -37,8 +37,6 @@ The reference has no analog: it is single-GPU by construction
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
