@@ -325,6 +325,33 @@ class TestEndToEndInference:
                 probs.sum(axis=-1), 1.0, atol=1e-3
             )
 
+    def test_batch_infer_driver(
+        self, trained_exp, synthetic_csdap_root, tmp_path
+    ):
+        """The Batch_infer.sh-equivalent loop: masks exported per root
+        without mutating a shared dataset_dirs.json (reference
+        Batch_infer.sh:12-26 rewrote it in place)."""
+        from floodplanet_code_tpu.inference.batch_infer import main
+
+        exp_dir, best = trained_exp
+        save_dir = str(tmp_path / "batch")
+        results = main(
+            [
+                best,
+                "floodplanet",
+                "--roots",
+                synthetic_csdap_root,
+                synthetic_csdap_root,
+                "--split",
+                "test",
+                "--save_dir",
+                save_dir,
+            ]
+        )
+        written = results[synthetic_csdap_root]
+        assert written and all(os.path.exists(p) for p in written)
+        assert all(p.startswith(save_dir) for p in written)
+
     def test_export_stablehlo_roundtrip(self, trained_exp, tmp_path, rng):
         """AOT export -> deserialize -> call matches the live predict step
         exactly (weights baked in as constants)."""
