@@ -112,15 +112,23 @@ NORM_PARAMS_FILENAME = "dataset_norm_params.json"
 def load_global_norm_params(dataset_name: str, norm_param_path: str | None = None):
     """Load precomputed global normalization parameters.
 
-    The reference loads a pickle from the repo root
-    (datasets/utils.py:215-230); we use JSON next to this package (or an
-    explicit path) for safety and diffability.
+    Native format is JSON next to this package (or an explicit path) for
+    safety and diffability. The reference's ``dataset_norm_params.p``
+    pickles (datasets/utils.py:215-230, same ``{dataset: {input_type:
+    {'mean','std'}}}`` structure with ndarray values) load transparently,
+    so precomputed stats migrate with the checkpoints.
     """
     if norm_param_path is None:
         pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
         norm_param_path = os.path.join(pkg_root, NORM_PARAMS_FILENAME)
-    with open(norm_param_path, "r") as handle:
-        all_params = json.load(handle)
+    if norm_param_path.endswith((".p", ".pkl", ".pickle")):
+        import pickle
+
+        with open(norm_param_path, "rb") as handle:
+            all_params = pickle.load(handle)
+    else:
+        with open(norm_param_path, "r") as handle:
+            all_params = json.load(handle)
     if dataset_name not in all_params:
         raise KeyError(
             f'Normalization parameters not available for dataset "{dataset_name}"'

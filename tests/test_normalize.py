@@ -115,3 +115,29 @@ class TestGlobalParamsIO:
         save_global_norm_params("other", {}, norm_param_path=path)
         with pytest.raises(KeyError):
             load_global_norm_params("floodplanet", norm_param_path=path)
+
+    def test_reference_pickle_migration(self, tmp_path):
+        """The reference's dataset_norm_params.p pickles (ndarray values,
+        datasets/utils.py:215-230) load transparently."""
+        import pickle
+
+        path = str(tmp_path / "dataset_norm_params.p")
+        ref_style = {
+            "floodplanet": {
+                "PS": {
+                    "mean": np.asarray([0.1, 0.2, 0.3, 0.4]),
+                    "std": np.asarray([1.0, 1.1, 1.2, 1.3]),
+                }
+            }
+        }
+        with open(path, "wb") as handle:
+            pickle.dump(ref_style, handle)
+        params = load_global_norm_params("floodplanet", norm_param_path=path)
+        np.testing.assert_allclose(params["PS"]["mean"], [0.1, 0.2, 0.3, 0.4])
+        # Values feed normalize() arithmetic directly.
+        image = np.ones((4, 8, 8), np.float32)
+        out, mean, std = normalize_stats(
+            image, "global", global_params=params, input_type="PS"
+        )
+        assert out.shape == image.shape
+        np.testing.assert_allclose(np.asarray(mean).ravel(), params["PS"]["mean"])
