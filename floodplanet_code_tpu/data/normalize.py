@@ -136,17 +136,43 @@ def load_global_norm_params(dataset_name: str, norm_param_path: str | None = Non
     return all_params[dataset_name]
 
 
+def _jsonable(value):
+    """ndarray/scalar leaves -> plain lists/floats (pickle-sourced params)."""
+    if isinstance(value, dict):
+        return {k: _jsonable(v) for k, v in value.items()}
+    if isinstance(value, np.ndarray):
+        return value.tolist()
+    if isinstance(value, (np.floating, np.integer)):
+        return value.item()
+    return value
+
+
 def save_global_norm_params(
     dataset_name: str, params: dict, norm_param_path: str | None = None
 ) -> str:
+    """Merge ``params`` into the stats file (JSON, or the reference's
+    pickle format when the path says so — both directions of migration)."""
     if norm_param_path is None:
         pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
         norm_param_path = os.path.join(pkg_root, NORM_PARAMS_FILENAME)
+    as_pickle = norm_param_path.endswith((".p", ".pkl", ".pickle"))
     all_params = {}
     if os.path.exists(norm_param_path):
-        with open(norm_param_path, "r") as handle:
-            all_params = json.load(handle)
+        if as_pickle:
+            import pickle
+
+            with open(norm_param_path, "rb") as handle:
+                all_params = pickle.load(handle)
+        else:
+            with open(norm_param_path, "r") as handle:
+                all_params = json.load(handle)
     all_params[dataset_name] = params
-    with open(norm_param_path, "w") as handle:
-        json.dump(all_params, handle, indent=2)
+    if as_pickle:
+        import pickle
+
+        with open(norm_param_path, "wb") as handle:
+            pickle.dump(all_params, handle)
+    else:
+        with open(norm_param_path, "w") as handle:
+            json.dump(_jsonable(all_params), handle, indent=2)
     return norm_param_path

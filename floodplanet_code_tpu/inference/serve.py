@@ -69,13 +69,15 @@ class InferenceService:
                 base = base[: -len(".stablehlo")]
             with open(base + ".json") as handle:
                 self.manifest = json.load(handle)
-            if tta:
+            if tta and not self.manifest["tta"]:
                 raise ValueError(
-                    "--tta is fixed at export time for artifacts "
-                    f"(this one has tta={self.manifest['tta']})"
+                    "--tta requested but this artifact was exported with "
+                    "tta=false; TTA is baked in at export time"
                 )
             tta = bool(self.manifest["tta"])
-            source = artifact_path
+            # The artifact may live anywhere (--out); its experiment dir
+            # comes from the recorded checkpoint provenance.
+            source = self.manifest["checkpoint"]
         else:
             source = checkpoint_path
         self.tta = tta
@@ -153,10 +155,16 @@ class InferenceService:
             kwargs["root_dir"] = root
             run_cfg.dataset["dataset_kwargs"] = kwargs
             if self.manifest is not None:
-                # The artifact's batch/tile shape is frozen; feed exactly it.
-                run_cfg.batch_size = int(
-                    self.manifest["inputs"]["image"]["shape"][0]
-                )
+                # The artifact's batch/tile shape is frozen; feed exactly
+                # it. It is also a single-device program (jax.export lowers
+                # for nr_devices=1), so pin the mesh to one chip — infer()'s
+                # device-count batch rounding then preserves the frozen
+                # batch too. Multi-chip serving = checkpoint mode.
+                shape = self.manifest["inputs"]["image"]["shape"]
+                run_cfg.batch_size = int(shape[0])
+                run_cfg.crop_height = int(shape[1])
+                run_cfg.crop_width = int(shape[2])
+                run_cfg.tpu["n_devices"] = 1
             # Probe dataset (same non-overlap tiling infer() uses) to warm
             # the model for this channel/class shape.
             slice_params = generate_image_slice_object(

@@ -66,6 +66,9 @@ run_with_retry python /root/repo/scripts/eval_tta_r3.py \
   --out /root/repo/outputs/cv_r3_cosine/tta_eval.json
 
 echo "=== bench at final HEAD ==="
-cd /root/repo && run_with_retry python bench.py | tee /tmp/bench_r3_final.json
+# Redirect INSIDE the retried command so a timed-out partial attempt is
+# overwritten by the next one — the file always holds one JSON document.
+cd /root/repo && run_with_retry bash -c 'python bench.py > /tmp/bench_r3_final.json'
+cat /tmp/bench_r3_final.json
 
 echo "=== recovery driver done: $(date -u) ==="

@@ -414,7 +414,11 @@ class TestEndToEndInference:
         from floodplanet_code_tpu.tools.export_model import export_checkpoint
 
         exp_dir, best = trained_exp
-        manifest = export_checkpoint(best, batch_size=8)
+        # Custom --out location: the daemon must find the experiment via
+        # the manifest's checkpoint provenance, not the artifact's path.
+        manifest = export_checkpoint(
+            best, out_path=str(tmp_path / "anywhere" / "model"), batch_size=8
+        )
 
         server = serve(artifact_path=manifest["artifact"], port=0)
         thread = threading.Thread(target=server.serve_forever, daemon=True)
