@@ -112,6 +112,21 @@ class TestSpatialMesh:
         with pytest.raises(ValueError):
             make_hybrid_mesh(4, 4)
 
+    def test_detect_n_pods(self):
+        """Slice topology (multi-slice TPU pods) wins over process count;
+        without it the process count is the DCN granule count."""
+        from types import SimpleNamespace
+
+        from floodplanet_code_tpu.parallel.mesh import detect_n_pods
+
+        sliced = [
+            SimpleNamespace(slice_index=i // 4, process_index=i // 2)
+            for i in range(8)
+        ]
+        assert detect_n_pods(sliced) == 2  # 2 slices x 4 devices
+        unsliced = [SimpleNamespace(process_index=0) for _ in range(8)]
+        assert detect_n_pods(unsliced) == jax.process_count()
+
     def test_sp_eval_step(self, rng):
         model = build_model("ms_model", {"ms_image": 2}, 3, dtype=jnp.float32)
         batch = tiny_batch(rng, b=4, hw=32)
