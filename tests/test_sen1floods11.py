@@ -19,6 +19,46 @@ def make(split, root, **kw):
     return build_dataset("sen1floods11", split, sl, root_dir=root, **kw)
 
 
+@pytest.mark.slow
+def test_fit_and_predict_end_to_end(synthetic_s1f11_root, tmp_path):
+    """Full leave-region-out fit + predict on the S1F11 layout — the
+    pipeline RESULTS.md documents as ready-to-run for the reference's
+    Sen1Floods11 cross-validation (blocked only on real chips)."""
+    import os
+
+    from floodplanet_code_tpu.config import compose
+    from floodplanet_code_tpu.inference.predict import main as predict_main
+    from floodplanet_code_tpu.train.fit import fit_model
+
+    cfg = compose(
+        overrides=[
+            "dataset=sen1floods11",
+            "dataset.sensor=S1",
+            "eval_region=Bolivia",
+            "ignore_index=-1",
+            "crop_height=64",
+            "crop_width=64",
+            "crop_stride=64",
+            "batch_size=8",
+            "n_epochs=1",
+            "n_workers=2",
+            "limit_train_batches=2",
+            "limit_val_batches=2",
+            "tpu.compute_dtype=float32",
+            "transforms.rotate.active=false",
+        ]
+    )
+    cfg.dataset["dataset_kwargs"] = {"root_dir": synthetic_s1f11_root}
+    exp_dir = str(tmp_path / "s1f11_exp")
+    best = fit_model(cfg, overwrite_exp_dir=exp_dir)
+    assert best and os.path.exists(best)
+    metrics = predict_main(
+        [best, "--eval_dataset_split", "test", "--no-predict_images"]
+    )
+    assert "test_MulticlassJaccardIndex" in metrics
+    assert np.isfinite(metrics["test_MulticlassJaccardIndex"])
+
+
 class TestDiscoveryAndSplits:
     def test_regions_from_filenames(self, synthetic_s1f11_root):
         ds = make("all", synthetic_s1f11_root)
