@@ -74,13 +74,23 @@ class TestTrainingVariants:
         best = fit_model(cfg, overwrite_exp_dir=str(tmp_path / "lf"))
         assert best and os.path.exists(best)
 
-    def test_multisensor_fit(self, all_sensor_root, tmp_path):
+    def test_multisensor_fit_and_predict(self, all_sensor_root, tmp_path):
+        import numpy as np
+
+        from floodplanet_code_tpu.inference.predict import main as predict_main
+
         cfg = compose(
             overrides=BASE_OVERRIDES + ["dataset.sensor=PS+S1+L8"]
         )
         cfg.dataset["dataset_kwargs"] = {"root_dir": all_sensor_root}
         best = fit_model(cfg, overwrite_exp_dir=str(tmp_path / "ms"))
         assert best and os.path.exists(best)
+        # Evaluate the stacked-sensor checkpoint through the predict CLI
+        # (restore + channel stacking + stitching on the fused input).
+        metrics = predict_main(
+            [best, "--eval_dataset_split", "test", "--no-predict_images"]
+        )
+        assert np.isfinite(metrics["test_MulticlassJaccardIndex"])
 
     def test_shard_map_spmd_fit(self, all_sensor_root, tmp_path):
         """Full fit with the explicit-collective step implementation
