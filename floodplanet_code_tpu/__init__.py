@@ -22,4 +22,4 @@ jax.sharding.Mesh, on-device batch augmentation, on-device overlap
 stitching, and Pallas kernels for the hot fused conv blocks.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
