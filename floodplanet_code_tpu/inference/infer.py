@@ -41,6 +41,7 @@ def infer(
     n_workers: int | None = None,
     tta: bool = False,
     warm=None,
+    dataset=None,
 ) -> list[str]:
     """Run inference and export masks; returns the written mask paths.
 
@@ -48,28 +49,31 @@ def infer(
     ``warm``: a (model, variables, predict_step) triple from a prior load
     — skips checkpoint restore and keeps the compiled step's jit cache
     across calls (the serving daemon, inference/serve.py).
+    ``dataset``: a pre-built dataset for the same cfg/split (the daemon's
+    warm-up probe) — skips the second directory scan + tiling pass.
     """
-    # Non-overlapping slide at inference (reference infer.py:64-65).
-    slice_params = generate_image_slice_object(
-        cfg.crop_height,
-        cfg.crop_width,
-        stride=min(cfg.crop_height, cfg.crop_width),
-    )
-    dataset_kwargs = cfg.dataset.get("dataset_kwargs") or {}
-    dataset = build_dataset(
-        dataset_name,
-        split,
-        slice_params,
-        sensor=cfg.dataset.sensor,
-        channels=cfg.dataset.channels,
-        norm_mode=cfg.norm_mode,
-        eval_region=eval_region if eval_region is not None else cfg.eval_region,
-        ignore_index=cfg.ignore_index,
-        seed_num=cfg.select("seed_num"),
-        train_split_pct=cfg.select("train_split_pct", 0.8),
-        output_metadata=True,
-        **dataset_kwargs,
-    )
+    if dataset is None:
+        # Non-overlapping slide at inference (reference infer.py:64-65).
+        slice_params = generate_image_slice_object(
+            cfg.crop_height,
+            cfg.crop_width,
+            stride=min(cfg.crop_height, cfg.crop_width),
+        )
+        dataset_kwargs = cfg.dataset.get("dataset_kwargs") or {}
+        dataset = build_dataset(
+            dataset_name,
+            split,
+            slice_params,
+            sensor=cfg.dataset.sensor,
+            channels=cfg.dataset.channels,
+            norm_mode=cfg.norm_mode,
+            eval_region=eval_region if eval_region is not None else cfg.eval_region,
+            ignore_index=cfg.ignore_index,
+            seed_num=cfg.select("seed_num"),
+            train_split_pct=cfg.select("train_split_pct", 0.8),
+            output_metadata=True,
+            **dataset_kwargs,
+        )
     predict_step = None
     if warm is not None:
         model, variables, predict_step = warm

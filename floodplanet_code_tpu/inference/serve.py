@@ -196,6 +196,7 @@ class InferenceService:
                 eval_region=None,
                 tta=self.tta,
                 warm=warm,
+                dataset=probe,  # same cfg/root/split: skip the re-scan
             )
             return {
                 "root": root,

@@ -138,7 +138,11 @@ class DoubleConv(nn.Module):
             from floodplanet_code_tpu.ops.conv_fused import recommended
 
             mid_shape = x.shape[:3] + (mid,)
-            use_pallas_pair = recommended(mid_shape, self.out_channels)
+            use_pallas_pair = recommended(
+                mid_shape,
+                self.out_channels,
+                itemsize=jnp.dtype(self.dtype).itemsize,
+            )
         for i, channels in enumerate((mid, self.out_channels)):
             if not (i == 1 and use_pallas_pair):
                 x = nn.Conv(

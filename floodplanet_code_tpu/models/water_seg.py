@@ -186,10 +186,26 @@ def resolve_conv_impl(cfg) -> str:
     documented contract), overriding ``tpu.conv_impl=pallas_fused`` — on
     backends without Mosaic the fused kernel would silently run the
     interpreter, orders of magnitude slower.
+
+    ``pallas_fused`` is additionally single-device-only: a pallas_call is
+    an opaque custom-call with no SPMD partitioning rule, so under a
+    multi-chip mesh GSPMD would have to replicate its operands (an
+    all-gather of the full global activation before every fused conv).
     """
     if not cfg.select("tpu.use_pallas", True):
         return "xla"
-    return cfg.select("tpu.conv_impl", "xla")
+    impl = cfg.select("tpu.conv_impl", "xla")
+    if impl == "pallas_fused":
+        import jax
+
+        n = int(cfg.select("tpu.n_devices") or len(jax.devices()))
+        if n > 1:
+            print(
+                "[model] tpu.conv_impl=pallas_fused is single-device-only "
+                f"(no SPMD partitioning rule); using xla on {n} devices"
+            )
+            return "xla"
+    return impl
 
 
 def build_model(

@@ -63,9 +63,13 @@ def xla_reference(y, a, b, w):
     )
 
 
-def _pick_th(h: int, w: int, c1: int, c2: int) -> int | None:
+def _pick_th(h: int, w: int, c1: int, c2: int, itemsize: int = 2) -> int | None:
     """Largest strip height TH dividing H that keeps the VMEM working set
-    within budget. None = shapes unsupported (caller falls back to XLA)."""
+    within budget. None = shapes unsupported (caller falls back to XLA).
+
+    ``itemsize``: bytes per element of the kernel's compute dtype (all
+    operands are cast to y.dtype) — 2 for the bf16 default, 4 under
+    tpu.compute_dtype=float32; the accumulator is always f32."""
     lanes = 128
 
     def pad(c):
@@ -76,12 +80,12 @@ def _pick_th(h: int, w: int, c1: int, c2: int) -> int | None:
             continue
         # center in (x2 double-buffer) + z + flat zs + acc f32 + out (x2)
         est = (
-            th * w * pad(c1) * 2 * 2
-            + (th + 2) * w * pad(c1) * 2
-            + th * w * pad(c1) * 2
+            th * w * pad(c1) * itemsize * 2
+            + (th + 2) * w * pad(c1) * itemsize
+            + th * w * pad(c1) * itemsize
             + th * w * pad(c2) * 4
-            + th * w * pad(c2) * 2 * 2
-            + 9 * pad(c1) * pad(c2) * 2
+            + th * w * pad(c2) * itemsize * 2
+            + 9 * pad(c1) * pad(c2) * itemsize
         )
         if est <= 28 * 1024 * 1024:
             return th
@@ -132,7 +136,7 @@ def _pallas_impl(y, a, b, w, interpret=None):
         interpret = jax.default_backend() != "tpu"
     bsz, h, wid, c1 = y.shape
     c2 = w.shape[3]
-    th = _pick_th(h, wid, c1, c2)
+    th = _pick_th(h, wid, c1, c2, itemsize=y.dtype.itemsize)
     assert th is not None, "supported() must be checked by the caller"
     n_j = h // th
 
@@ -187,13 +191,13 @@ def _pallas_impl(y, a, b, w, interpret=None):
     )
 
 
-def supported(shape: tuple, c2: int) -> bool:
+def supported(shape: tuple, c2: int, itemsize: int = 2) -> bool:
     """Whether the kernel handles this (B,H,W,C1) input -> C2 output."""
     _, h, w, c1 = shape
-    return h >= 8 and _pick_th(h, w, c1, c2) is not None
+    return h >= 8 and _pick_th(h, w, c1, c2, itemsize) is not None
 
 
-def recommended(shape: tuple, c2: int) -> bool:
+def recommended(shape: tuple, c2: int, itemsize: int = 2) -> bool:
     """Where the kernel measured FASTER than the XLA chain on v5e.
 
     Head-to-head per level (outputs/perf_r3/pallas.jsonl, fwd, b8):
@@ -204,7 +208,7 @@ def recommended(shape: tuple, c2: int) -> bool:
     only where it wins.
     """
     c1 = shape[3]
-    return c1 >= 256 and supported(shape, c2)
+    return c1 >= 256 and supported(shape, c2, itemsize)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(4,))

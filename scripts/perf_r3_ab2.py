@@ -113,7 +113,9 @@ def main():
                             target).compile()))
 
     model_ab("conv_up_b8", B, upsample_impl="conv")
-    model_ab("resize_b16", 16)
+    # Explicit: the recorded ab2.jsonl rows predate the conv-upsample
+    # default flip (ff73815); pin the resize build so reruns stay honest.
+    model_ab("resize_b16", 16, upsample_impl="resize")
 
     rec("done")
 

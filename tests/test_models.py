@@ -234,7 +234,17 @@ class TestResolveConvImpl:
         )
         assert resolve_conv_impl(cfg) == "xla"
         cfg = compose(
-            overrides=["tpu.conv_impl=pallas_fused", "tpu.use_pallas=true"]
+            overrides=[
+                "tpu.conv_impl=pallas_fused",
+                "tpu.use_pallas=true",
+                "tpu.n_devices=1",
+            ]
         )
         assert resolve_conv_impl(cfg) == "pallas_fused"
+        # Single-device-only: a pallas_call has no SPMD partitioning rule,
+        # so a multi-chip mesh falls back to xla.
+        cfg = compose(
+            overrides=["tpu.conv_impl=pallas_fused", "tpu.n_devices=8"]
+        )
+        assert resolve_conv_impl(cfg) == "xla"
         assert resolve_conv_impl(compose(overrides=[])) == "xla"
