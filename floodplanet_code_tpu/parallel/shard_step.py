@@ -45,6 +45,7 @@ from floodplanet_code_tpu.data.augment import TransformParams, augment_batch
 from floodplanet_code_tpu.ops.losses import cross_entropy_ignore
 from floodplanet_code_tpu.ops.metrics import confusion_from_logits
 from floodplanet_code_tpu.models.water_seg import AUX_FEATURE_KEYS
+from floodplanet_code_tpu.train.state import ema_decay_at
 
 
 def make_shard_train_step(
@@ -53,6 +54,7 @@ def make_shard_train_step(
     ignore_index: int,
     transform_params: TransformParams | None = None,
     ema_decay: float = 0.0,
+    ema_warmup: bool = True,
 ):
     """Build the explicit-collective train step over a 1-D data mesh.
 
@@ -120,9 +122,12 @@ def make_shard_train_step(
             # Already pmean'd inside the model via bn_axis_name.
             state = state.replace(batch_stats=updates["batch_stats"])
         if state.ema_params is not None:
+            # state.step already counts this update; the decay is a pure
+            # function of the replicated step, so it stays shard-invariant.
+            d = ema_decay_at(state.step, ema_decay) if ema_warmup else ema_decay
             state = state.replace(
                 ema_params=jax.tree.map(
-                    lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+                    lambda e, p: d * e + (1.0 - d) * p,
                     state.ema_params,
                     state.params,
                 )

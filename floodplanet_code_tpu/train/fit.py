@@ -61,7 +61,11 @@ from floodplanet_code_tpu.parallel.mesh import (
     replicate_state,
 )
 from floodplanet_code_tpu.train.checkpoint import MONITOR_KEY, CheckpointManager
-from floodplanet_code_tpu.train.state import TrainState, create_train_state
+from floodplanet_code_tpu.train.state import (
+    TrainState,
+    create_train_state,
+    ema_decay_at,
+)
 
 
 def resolve_ignore_index(ignore_index: int, n_classes: int) -> int:
@@ -144,6 +148,7 @@ def make_train_step(
     loss_cfg=None,
     fuse_augmentation: bool = True,
     ema_decay: float = 0.0,
+    ema_warmup: bool = True,
 ):
     """Build the jitted train step: [augment ->] forward -> loss -> update.
 
@@ -151,7 +156,9 @@ def make_train_step(
     make_augment_step program (the fast path on TPU; see its docstring).
     ``ema_decay``: when the state carries ``ema_params``, they are updated
     as ``d*ema + (1-d)*params`` after the optimizer step (one fused
-    elementwise pass; ~free next to the backward).
+    elementwise pass; ~free next to the backward). ``ema_warmup`` ramps
+    the decay over a growing horizon so short runs track instead of lag
+    (train/state.ema_decay_at; tpu config key ``ema_warmup``).
 
     Returns (state, rng) -> (state', logs) where logs carries the scalar
     loss and the batch confusion matrix (additive across steps).
@@ -190,9 +197,11 @@ def make_train_step(
         if state.batch_stats is not None:
             state = state.replace(batch_stats=updates["batch_stats"])
         if state.ema_params is not None:
+            # state.step already counts this update (apply_gradients above).
+            d = ema_decay_at(state.step, ema_decay) if ema_warmup else ema_decay
             state = state.replace(
                 ema_params=jax.tree.map(
-                    lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+                    lambda e, p: d * e + (1.0 - d) * p,
                     state.ema_params,
                     state.params,
                 )
@@ -452,6 +461,7 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
             mesh,
             ignore_index,
             ema_decay=float(cfg.select("ema_decay", 0.0) or 0.0),
+            ema_warmup=bool(cfg.select("ema_warmup", True)),
         )
     elif use_flat:
         from floodplanet_code_tpu.train.flat import (
@@ -470,6 +480,7 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
             loss_cfg=cfg.select("loss"),
             fuse_augmentation=False,
             ema_decay=float(cfg.select("ema_decay", 0.0) or 0.0),
+            ema_warmup=bool(cfg.select("ema_warmup", True)),
         )
     else:
         fstate, flat_spec = None, None
@@ -480,6 +491,7 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
             loss_cfg=cfg.select("loss"),
             fuse_augmentation=False,
             ema_decay=float(cfg.select("ema_decay", 0.0) or 0.0),
+            ema_warmup=bool(cfg.select("ema_warmup", True)),
         )
     augment_step = make_augment_step(transform_params, ignore_index)
     if spmd_impl == "shard_map":

@@ -35,7 +35,7 @@ from flax import struct
 from jax.flatten_util import ravel_pytree
 
 from floodplanet_code_tpu.models.water_seg import AUX_FEATURE_KEYS
-from floodplanet_code_tpu.train.state import TrainState
+from floodplanet_code_tpu.train.state import TrainState, ema_decay_at
 
 
 class FlatTrainState(struct.PyTreeNode):
@@ -171,11 +171,13 @@ def make_flat_train_step(
     loss_cfg=None,
     fuse_augmentation: bool = False,
     ema_decay: float = 0.0,
+    ema_warmup: bool = True,
 ):
     """Flat-state twin of train/fit.py make_train_step (same semantics).
 
     EMA here is ONE fused elementwise pass over the single flat buffer
-    (the flat packing's best case).
+    (the flat packing's best case). ``ema_warmup`` matches the nested
+    step's horizon-warmed decay (train/state.ema_decay_at).
     """
     from floodplanet_code_tpu.data.augment import augment_batch
     from floodplanet_code_tpu.ops.metrics import confusion_from_logits
@@ -220,16 +222,18 @@ def make_flat_train_step(
         )
         new_params = optax.apply_updates(fstate.flat_params, updates)
         confusion = confusion_from_logits(logits, target, ignore_index)
+        new_step = fstate.step + 1
+        if fstate.flat_ema is not None:
+            d = ema_decay_at(new_step, ema_decay) if ema_warmup else ema_decay
+            new_ema = d * fstate.flat_ema + (1.0 - d) * new_params
+        else:
+            new_ema = None
         new_fstate = FlatTrainState(
-            step=fstate.step + 1,
+            step=new_step,
             flat_params=new_params,
             flat_stats=new_stats,
             opt_state=new_opt,
-            flat_ema=(
-                ema_decay * fstate.flat_ema + (1.0 - ema_decay) * new_params
-                if fstate.flat_ema is not None
-                else None
-            ),
+            flat_ema=new_ema,
         )
         return new_fstate, {"loss": loss, "confusion": confusion}
 

@@ -28,6 +28,29 @@ class TrainState(train_state.TrainState):
     ema_params: Any = struct.field(default=None)
 
 
+def ema_decay_at(step, decay: float):
+    """Horizon-warmed EMA decay: ``min(decay, (1 + t) / (10 + t))``.
+
+    A fixed-decay EMA seeded from the initial params needs ~1/(1-d) steps
+    to forget initialization — at d=0.999 that is ~1000 updates, often
+    longer than a short fold's whole schedule, so the average trails the
+    raw weights for most of training (measured on the round-3 CV arms:
+    RESULTS.md "Beyond-reference quality levers", where the short noisy
+    folds selected their last epoch and landed below the no-EMA arm).
+    Ramping the decay over a growing horizon (the schedule
+    tf.train.ExponentialMovingAverage uses for ``num_updates``; equivalent
+    in effect to debiased averaging à la optax.ema(debias=True)) makes
+    the EMA track the raw params exactly at the start and only average
+    once there is history worth averaging — strictly safer on short runs,
+    identical in the long-run limit.
+
+    ``step`` is the number of completed optimizer updates (1 at the first
+    update); it may be a traced jax scalar.
+    """
+    t = jnp.asarray(step, jnp.float32)
+    return jnp.minimum(jnp.asarray(decay, jnp.float32), (1.0 + t) / (10.0 + t))
+
+
 def build_optimizer(
     optimizer_name: str,
     lr: float,

@@ -246,3 +246,45 @@ def test_fit_model_flat_vs_nested(tmp_path, synthetic_csdap_root):
     # equality is only approximate at the epoch scale. Step-level
     # equivalence is asserted tightly in test_flat_step_matches_nested.
     assert results[True] == pytest.approx(results[False], abs=0.01)
+
+
+def test_ema_warmup_schedule_values():
+    """ema_decay_at = min(decay, (1+t)/(10+t)) with t = completed updates."""
+    from floodplanet_code_tpu.train.state import ema_decay_at
+
+    assert float(ema_decay_at(1, 0.999)) == pytest.approx(2 / 11)
+    assert float(ema_decay_at(90, 0.999)) == pytest.approx(91 / 100)
+    assert float(ema_decay_at(10**6, 0.999)) == pytest.approx(0.999)
+    # A decay below the ramp's range is simply the fixed decay.
+    assert float(ema_decay_at(100, 0.5)) == pytest.approx(0.5)
+    # Traced/jitted usage (the train steps call it on state.step).
+    assert float(jax.jit(lambda t: ema_decay_at(t, 0.999))(jnp.int32(1))) == (
+        pytest.approx(2 / 11)
+    )
+
+
+def test_ema_warmup_tracks_where_fixed_decay_lags():
+    """At d=0.999 on a 5-step run, the warmed EMA follows the raw params
+    while the fixed-decay EMA is still ~stuck at the random init — the
+    failure mode measured on the short round-3 CV folds (RESULTS.md)."""
+    batch = _make_batch()
+    model = build_model("ef_model", {"ms_image": 4}, 3, base_feat_channels=8)
+
+    def run(ema_warmup):
+        state = create_train_state(model, batch, lr=1e-2, ema=True)
+        step = make_train_step(
+            model, 0, NO_AUG, ema_decay=0.999, ema_warmup=ema_warmup
+        )
+        key = jax.random.key(0)
+        for _ in range(5):
+            key, sub = jax.random.split(key)
+            state, _ = step(state, batch, sub)
+        p, _ = jax.flatten_util.ravel_pytree(state.params)
+        e, _ = jax.flatten_util.ravel_pytree(state.ema_params)
+        return float(jnp.linalg.norm(e - p))
+
+    lag_warm = run(True)
+    lag_fixed = run(False)
+    # Warmed decay at t<=5 is <= 6/15, so the EMA sits within ~40% of the
+    # params' trajectory; fixed 0.999 retains ~99.5% of the init offset.
+    assert lag_warm < 0.5 * lag_fixed
