@@ -33,6 +33,7 @@ def run_fold(
     out_dir: str,
     n_epochs: int,
     extra_overrides: list[str],
+    soup: bool = False,
 ) -> dict:
     from floodplanet_code_tpu.config import compose
     from floodplanet_code_tpu.train.checkpoint import CheckpointManager
@@ -76,7 +77,7 @@ def run_fold(
         if os.path.exists(metrics_path):
             with open(metrics_path) as handle:
                 water_iou = json.load(handle).get("val_water_IoU")
-    return {
+    record = {
         "sensor": sensor,
         "region": region,
         "best_val_iou": best["metric"] if best else None,
@@ -87,6 +88,23 @@ def run_fold(
         "n_epochs": n_epochs,
         "batch_size": batch_size,
     }
+    if soup and best is not None:
+        # Greedy checkpoint soup over the retained top-k (zero extra
+        # training; tools/soup_checkpoints.py). Records the re-scored val
+        # IoU of the averaged weights alongside the best single epoch.
+        from floodplanet_code_tpu.tools.soup_checkpoints import soup_experiment
+
+        try:
+            soup_summary = soup_experiment(exp_dir, mode="greedy")
+            record["soup_val_iou"] = soup_summary["soup_val_iou"]
+            record["soup_base_val_iou"] = soup_summary["base_val_iou"]
+            record["soup_n_ingredients"] = len(
+                soup_summary["ingredients_used"]
+            )
+            record["soup_checkpoint"] = soup_summary["checkpoint"]
+        except Exception as exc:  # soup is additive; never fail the fold
+            print(f"[crossval] soup failed for {sensor}/{region}: {exc}")
+    return record
 
 
 def main(argv=None):
@@ -99,6 +117,12 @@ def main(argv=None):
     parser.add_argument("--results", default=None, help="results json path")
     parser.add_argument(
         "--override", action="append", default=[], help="extra cfg overrides"
+    )
+    parser.add_argument(
+        "--soup",
+        action="store_true",
+        help="after each fold, greedy-soup the top-k checkpoints and "
+        "record the souped val IoU (tools/soup_checkpoints.py)",
     )
     args = parser.parse_args(argv)
 
@@ -127,6 +151,7 @@ def main(argv=None):
             args.out_dir,
             args.n_epochs,
             args.override,
+            soup=args.soup,
         )
         folds.append(fold)
         ious = [f["best_val_iou"] for f in folds if f["best_val_iou"] is not None]

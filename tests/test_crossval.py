@@ -36,6 +36,7 @@ def test_two_folds_then_resume_skips(
         "--batch_size", "8",
         "--n_epochs", "1",
         "--out_dir", out_dir,
+        "--soup",
         *TINY,
     ]
     main(argv)
@@ -47,6 +48,10 @@ def test_two_folds_then_resume_skips(
     for fold in summary["folds"]:
         assert os.path.exists(fold["best_checkpoint"])
         assert fold["best_val_iou"] is not None
+        # --soup: greedy top-k soup scored on val after each fold.
+        assert fold["soup_val_iou"] is not None
+        assert fold["soup_val_iou"] >= fold["soup_base_val_iou"]
+        assert os.path.isdir(fold["soup_checkpoint"])
 
     # Second invocation: every fold recorded -> all skipped, summary still
     # printed from the results file (the past-NameError path), file intact.
