@@ -19,7 +19,10 @@ as one JSON object:
 Usage:
     python -m floodplanet_code_tpu.tools.summarize_crossval \
         outputs/cv_r3head outputs/cv_r3_cosine outputs/cv_r3_cosine_ema \
-        [--json out.json]
+        [--ensemble_dir outputs/ensemble_r3] [--json out.json]
+
+``--ensemble_dir`` adds a column from ``eval_ensemble --out`` records
+(one ``<fold>.json`` per fold).
 """
 
 from __future__ import annotations
@@ -58,9 +61,38 @@ def load_arm(arm_dir: str) -> dict[str, dict]:
     return folds
 
 
-def build_pivot(arm_dirs: list[str]) -> dict:
+def load_ensemble_arm(ensemble_dir: str) -> dict[str, dict]:
+    """Fold records from ``eval_ensemble --out`` JSONs (<fold>.json).
+
+    Shaped like a CV arm: ``best_val_iou`` carries the ensemble IoU so
+    the pivot/means logic applies unchanged.
+    """
+    folds: dict[str, dict] = {}
+    for path in sorted(glob.glob(os.path.join(ensemble_dir, "*.json"))):
+        with open(path) as handle:
+            record = json.load(handle)
+        if "ensemble_iou" not in record:
+            continue
+        fold = record.get("fold") or {}
+        sensor, region = fold.get("sensor"), fold.get("eval_region")
+        if not sensor or not region:
+            sensor, _, region = os.path.splitext(
+                os.path.basename(path)
+            )[0].partition("_")
+        folds[f"{sensor}/{region}"] = {
+            "sensor": sensor,
+            "region": region,
+            "best_val_iou": record["ensemble_iou"],
+        }
+    return folds
+
+
+def build_pivot(arm_dirs: list[str], ensemble_dirs: list[str] = ()) -> dict:
     arms = [os.path.basename(os.path.normpath(d)) for d in arm_dirs]
     per_arm = [load_arm(d) for d in arm_dirs]
+    for ensemble_dir in ensemble_dirs:
+        arms.append(os.path.basename(os.path.normpath(ensemble_dir)))
+        per_arm.append(load_ensemble_arm(ensemble_dir))
     fold_keys = sorted({k for folds in per_arm for k in folds})
     pivot: dict[str, dict] = {k: {} for k in fold_keys}
     for arm, folds in zip(arms, per_arm):
@@ -146,11 +178,20 @@ def main(argv=None):
     parser.add_argument(
         "--json", default=None, help="also write the raw pivot to this path"
     )
+    parser.add_argument(
+        "--ensemble_dir",
+        action="append",
+        default=[],
+        help="eval_ensemble output dir (<fold>.json files), added as an "
+        "extra arm column",
+    )
     args = parser.parse_args(argv)
-    missing = [d for d in args.arm_dirs if not os.path.isdir(d)]
+    missing = [
+        d for d in args.arm_dirs + args.ensemble_dir if not os.path.isdir(d)
+    ]
     if missing:
         parser.error(f"not a directory: {missing}")
-    pivot = build_pivot(args.arm_dirs)
+    pivot = build_pivot(args.arm_dirs, args.ensemble_dir)
     print(format_markdown(pivot))
     if args.json:
         with open(args.json, "w") as handle:

@@ -73,3 +73,35 @@ def test_pivot_partial_arms_and_soup(tmp_path, capsys):
     assert "| fold |" in capsys.readouterr().out
     with open(out_json) as handle:
         assert json.load(handle)["arms"] == pivot["arms"]
+
+
+def test_pivot_ensemble_arm(tmp_path, capsys):
+    arm = _write_arm(
+        tmp_path,
+        "arm",
+        [
+            {"sensor": "S1", "region": "A", "best_val_iou": 0.50},
+            {"sensor": "S1", "region": "B", "best_val_iou": 0.70},
+        ],
+    )
+    ens = tmp_path / "ensemble"
+    ens.mkdir()
+    with open(ens / "S1_A.json", "w") as handle:
+        json.dump(
+            {
+                "fold": {"sensor": "S1", "eval_region": "A"},
+                "ensemble_iou": 0.61,
+            },
+            handle,
+        )
+    with open(ens / "notes.json", "w") as handle:
+        json.dump({"unrelated": True}, handle)  # ignored: no ensemble_iou
+
+    pivot = build_pivot([arm], [str(ens)])
+    assert pivot["arms"] == ["arm", "ensemble"]
+    assert pivot["folds"]["S1/A"]["ensemble"] == {"iou": 0.61}
+    assert "ensemble" not in pivot["folds"]["S1/B"]
+    assert pivot["means"]["ensemble"]["all"] == {"mean": 0.61, "n": 1}
+
+    main([arm, "--ensemble_dir", str(ens)])
+    assert "0.610" in capsys.readouterr().out
