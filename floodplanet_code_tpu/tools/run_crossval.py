@@ -13,9 +13,12 @@ Usage:
         --batch_size 8 --out_dir outputs/cv --results results_S1.json
 
 Each fold runs fit_model() to completion and reads the best
-val_MulticlassJaccardIndex from the checkpoint index. With
-ignore_index=0 and binary {dry, flood} labels this micro Jaccard IS the
-water-class IoU, directly comparable to the BASELINE.md rows.
+val_MulticlassJaccardIndex from the checkpoint index. run_fold overrides
+the shipped ignore_index=0 with -1 (see the inline comment there), so
+the monitored statistic is the micro Jaccard over {dry, flood} with
+nodata ignored — the reading consistent with the reference's published
+0.25-0.88 per-region IoUs (deviation note in RESULTS.md). The
+water-class-only IoU is recorded alongside as best_val_water_iou.
 """
 
 from __future__ import annotations
@@ -155,11 +158,20 @@ def main(argv=None):
         )
         folds.append(fold)
         ious = [f["best_val_iou"] for f in folds if f["best_val_iou"] is not None]
+        # Provenance must reflect the run, not the defaults: interpolate the
+        # effective seed/epochs and record the extra overrides verbatim.
+        seed = next(
+            (o.split("=", 1)[1] for o in reversed(args.override)
+             if o.startswith("seed_num=")),
+            "0",
+        )
         summary = {
             "sensor": args.sensor,
-            "recipe": "300x300 stride 150, 11 epochs, adam 1e-4, aug p=0.5, "
-            "ignore_index -1, seed 0 (reference conf/config.yaml:17-52; see "
-            "run_fold for why -1 replaces the shipped ignore_index=0)",
+            "recipe": f"300x300 stride 150, {args.n_epochs} epochs, adam "
+            f"1e-4, aug p=0.5, ignore_index -1, seed {seed} (reference "
+            "conf/config.yaml:17-52; see run_fold for why -1 replaces the "
+            "shipped ignore_index=0)",
+            "overrides": list(args.override),
             "mean_best_val_iou": sum(ious) / len(ious) if ious else None,
             "folds": folds,
         }
