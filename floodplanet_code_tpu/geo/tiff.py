@@ -202,20 +202,156 @@ class TiffFile:
             pass
 
 
+# ---------------------------------------------------------------------------
+# Graceful per-file fallback. The reference tolerates reader quirks by
+# carrying two backends (tifffile OR rasterio, floodplanet.py:309-318); the
+# native reader here gets the same safety net: when it cannot parse a file
+# (exotic compression, corrupt IFD), the read retries through whichever
+# pure-Python backend exists (tifffile if installed, else PIL, else OpenCV)
+# and logs once per file instead of hard-failing the run.
+# ---------------------------------------------------------------------------
+
+_fallback_warned: set[str] = set()
+
+
+def _warn_fallback(path: str, reason: str, backend: str) -> None:
+    if path not in _fallback_warned:
+        _fallback_warned.add(path)
+        print(
+            f"[geo.tiff] native reader failed for {path} ({reason}); "
+            f"falling back to {backend}",
+            file=sys.stderr,
+        )
+
+
+def _fallback_imread(path: str) -> tuple[np.ndarray, str]:
+    """Read a full image via the first working pure-Python backend.
+
+    Returns (array, backend_name); the array is [C,H,W] or [H,W] to match
+    the native reader's layout contract.
+    """
+    errors = []
+    try:
+        import tifffile  # not in the base image; honored if installed
+
+        arr = np.asarray(tifffile.imread(path))
+        # tifffile yields (H,W), (H,W,C) for contig or (C,H,W) for planar
+        # pages; use the series axes to normalize instead of guessing.
+        with tifffile.TiffFile(path) as handle:
+            axes = handle.series[0].axes
+        if arr.ndim == 3 and axes.upper().endswith("S"):
+            arr = np.transpose(arr, (2, 0, 1))
+        return arr, "tifffile"
+    except ImportError:
+        pass
+    except Exception as exc:  # noqa: BLE001 — try the next backend
+        errors.append(f"tifffile: {exc}")
+    try:
+        from PIL import Image
+
+        with Image.open(path) as img:
+            arr = np.asarray(img)
+        if arr.ndim == 3:
+            arr = np.transpose(arr, (2, 0, 1))
+        return arr, "PIL"
+    except Exception as exc:  # noqa: BLE001
+        errors.append(f"PIL: {exc}")
+    try:
+        import cv2
+
+        arr = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+        if arr is None:
+            raise IOError("cv2.imread returned None")
+        if arr.ndim == 3:
+            # OpenCV loads interleaved BGR / BGRA; restore file band order
+            # (alpha stays last for 4-band).
+            if arr.shape[2] == 3:
+                arr = arr[:, :, ::-1]
+            elif arr.shape[2] == 4:
+                arr = arr[:, :, [2, 1, 0, 3]]
+            arr = np.transpose(arr, (2, 0, 1))
+        return arr, "cv2"
+    except Exception as exc:  # noqa: BLE001
+        errors.append(f"cv2: {exc}")
+    raise IOError(
+        f"all fallback TIFF backends failed for {path}: " + "; ".join(errors)
+    )
+
+
+class _FallbackTiff:
+    """Pure-Python stand-in for TiffFile when the native reader fails.
+
+    Decodes the whole file once through _fallback_imread and serves windows
+    by slicing — slower and memory-heavier than the native windowed reads,
+    which is acceptable for the rare unparseable file.
+    """
+
+    def __init__(self, path: str, reason: str):
+        self.path = path
+        arr, backend = _fallback_imread(path)
+        _warn_fallback(path, reason, backend)
+        if arr.ndim == 3 and arr.shape[0] == 1:
+            arr = arr[0]  # native contract: single-band reads are [H,W]
+        self._arr = arr
+        samples = 1 if arr.ndim == 2 else arr.shape[0]
+        height, width = arr.shape[-2:]
+        fmt = {"u": 1, "i": 2, "f": 3}.get(arr.dtype.kind, 1)
+        self.info = TiffInfo(
+            width=width,
+            height=height,
+            samples=samples,
+            bits=arr.dtype.itemsize * 8,
+            sample_format=fmt,
+            planar=1,
+            compression=1,
+            tile_width=0,
+            tile_height=0,
+            rows_per_strip=height,
+        )
+
+    def read_window(self, y0: int, x0: int, height: int, width: int) -> np.ndarray:
+        info = self.info
+        if (
+            y0 < 0
+            or x0 < 0
+            or y0 + height > info.height
+            or x0 + width > info.width
+        ):
+            raise IOError(
+                f"window out of bounds ({self.path} y0={y0} x0={x0} "
+                f"h={height} w={width} vs {info.height}x{info.width})"
+            )
+        return self._arr[..., y0 : y0 + height, x0 : x0 + width].copy()
+
+    def read(self) -> np.ndarray:
+        return self._arr
+
+    def geo_tags(self) -> list[tuple[int, int, int, bytes]]:
+        # Fallback decoding loses the raw tag bytes; callers treat a missing
+        # geo block as "no georeferencing to carry over".
+        return []
+
+    def close(self) -> None:
+        self._arr = None
+
+
 # Small process-wide handle cache so per-tile windowed reads do not reopen
 # and re-parse the IFD every time (the dataset layer reads many windows from
 # the same scene).
 _CACHE_SIZE = 64
-_handle_cache: dict[str, TiffFile] = {}
+_handle_cache: dict[str, "TiffFile | _FallbackTiff"] = {}
 _cache_lock = threading.Lock()
 
 
-def _cached_file(path: str) -> TiffFile:
+def _cached_file(path: str) -> "TiffFile | _FallbackTiff":
     path = os.path.abspath(path)
     with _cache_lock:
         handle = _handle_cache.get(path)
         if handle is None:
-            handle = TiffFile(path)
+            try:
+                handle = TiffFile(path)
+            except IOError as exc:
+                handle = _FallbackTiff(path, str(exc))  # raises if hopeless
             _handle_cache[path] = handle
             while len(_handle_cache) > _CACHE_SIZE:
                 oldest_key = next(iter(_handle_cache))
@@ -225,16 +361,42 @@ def _cached_file(path: str) -> TiffFile:
         return handle
 
 
+def _demote_to_fallback(path: str, reason: str) -> _FallbackTiff:
+    """Replace a cached native handle that failed mid-read with a fallback."""
+    path = os.path.abspath(path)
+    handle = _FallbackTiff(path, reason)  # raises if no backend can read it
+    with _cache_lock:
+        stale = _handle_cache.pop(path, None)
+        _handle_cache[path] = handle
+    if isinstance(stale, TiffFile):
+        stale.close()
+    return handle
+
+
 def info(path: str) -> TiffInfo:
     return _cached_file(path).info
 
 
 def imread(path: str) -> np.ndarray:
-    return _cached_file(path).read()
+    handle = _cached_file(path)
+    try:
+        return handle.read()
+    except IOError as exc:
+        if isinstance(handle, _FallbackTiff):
+            raise
+        return _demote_to_fallback(path, str(exc)).read()
 
 
 def read_window(path: str, y0: int, x0: int, height: int, width: int) -> np.ndarray:
-    return _cached_file(path).read_window(y0, x0, height, width)
+    handle = _cached_file(path)
+    try:
+        return handle.read_window(y0, x0, height, width)
+    except IOError as exc:
+        if isinstance(handle, _FallbackTiff):
+            raise
+        return _demote_to_fallback(path, str(exc)).read_window(
+            y0, x0, height, width
+        )
 
 
 def read_windows_batch(
@@ -253,24 +415,45 @@ def read_windows_batch(
     n = len(paths)
     assert len(windows) == n
     files = [_cached_file(p) for p in paths]
+    results: list[np.ndarray | None] = [None] * n
+    # Fallback-backed files are served by slicing; only native handles go
+    # through the batched C++ read.
+    native = [i for i, f in enumerate(files) if isinstance(f, TiffFile)]
+    for i, f in enumerate(files):
+        if not isinstance(f, TiffFile):
+            y0, x0, h, w = windows[i]
+            results[i] = f.read_window(y0, x0, h, w)
     outs = []
-    handles = (ctypes.c_void_p * n)()
-    dsts = (ctypes.c_void_p * n)()
-    win_arr = (ctypes.c_int64 * (4 * n))()
-    for i, (f, (y0, x0, h, w)) in enumerate(zip(files, windows)):
-        info_ = f.info
-        out = np.empty((info_.samples, h, w), dtype=info_.dtype)
-        outs.append(out)
-        handles[i] = f._handle
-        dsts[i] = out.ctypes.data_as(ctypes.c_void_p).value
-        win_arr[4 * i : 4 * i + 4] = [y0, x0, h, w]
-    failures = lib.tiffio_read_windows_batch(handles, win_arr, n, dsts, n_threads)
-    if failures:
-        raise IOError(
-            f"tiffio batch read: {failures}/{n} windows failed "
-            f"({lib.tiffio_error().decode()})"
+    m = len(native)
+    if m:
+        handles = (ctypes.c_void_p * m)()
+        dsts = (ctypes.c_void_p * m)()
+        win_arr = (ctypes.c_int64 * (4 * m))()
+        for j, i in enumerate(native):
+            f = files[i]
+            y0, x0, h, w = windows[i]
+            info_ = f.info
+            out = np.empty((info_.samples, h, w), dtype=info_.dtype)
+            outs.append(out)
+            handles[j] = f._handle
+            dsts[j] = out.ctypes.data_as(ctypes.c_void_p).value
+            win_arr[4 * j : 4 * j + 4] = [y0, x0, h, w]
+        failures = lib.tiffio_read_windows_batch(
+            handles, win_arr, m, dsts, n_threads
         )
-    return [o[0] if o.shape[0] == 1 else o for o in outs]
+        if failures:
+            # The batch API reports a count, not which windows failed:
+            # retry every native window through the per-window path, which
+            # demotes unreadable files to the pure-Python fallback (and
+            # raises only if no backend can read them).
+            for i in native:
+                y0, x0, h, w = windows[i]
+                results[i] = read_window(paths[i], y0, x0, h, w)
+        else:
+            for j, i in enumerate(native):
+                o = outs[j]
+                results[i] = o[0] if o.shape[0] == 1 else o
+    return results  # type: ignore[return-value]
 
 
 # ---------------------------------------------------------------------------

@@ -7,6 +7,7 @@ TPU build's own. Multi-chip sharding tests run on the XLA host platform with
 
 import os
 import sys
+import zlib
 
 # Force CPU: the session env points JAX at real TPU hardware via a tunnel
 # whose sitecustomize pins jax_platforms at interpreter start — env vars
@@ -34,9 +35,17 @@ import numpy as np
 import pytest
 
 
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.default_rng(0)
+@pytest.fixture()
+def rng(request):
+    # Per-test deterministic Generator. The seed derives from the test's
+    # nodeid, so the stream each test draws is a pure function of the test
+    # itself — independent of which tests ran before it and of collection
+    # order. (A session-scoped shared Generator made tolerance-sensitive
+    # tests order-dependent: the r3 VERDICT caught
+    # test_train_steps_agree_across_builds failing only after certain
+    # three-file subsets.)
+    seed = zlib.crc32(request.node.nodeid.encode())
+    return np.random.default_rng(seed)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,404 @@
+"""Fuzz-matrix tests for the native TIFF reader and the fallback path.
+
+A hand-rolled parametric TIFF generator (independent of the repo's writer
+AND of the native reader) emits every combination of
+{classic, BigTIFF} x {II, MM} x {strips, tiles} x
+{none, LZW, Deflate, PackBits} x predictor {1, 2} x planar {1, 2},
+and the native reader (geo/native/tiffio.cpp) must decode all of them
+bit-exactly, full-frame and windowed. Files the native reader cannot
+parse (e.g. JPEG-in-TIFF) must fall back to a pure-Python backend rather
+than fail — parity with the reference's dual-backend tolerance
+(/root/reference/st_water_seg/datasets/floodplanet.py:309-318) — and
+files NO backend can read must raise IOError, never crash.
+"""
+
+import os
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from floodplanet_code_tpu.geo import tiff
+
+
+# ---------------------------------------------------------------------------
+# Encoders (test-local implementations, deliberately separate from tiffio.cpp)
+# ---------------------------------------------------------------------------
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        # Find a run.
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            continue
+        # Literal stretch until the next >=3 run (2-runs inside literals are
+        # legal and keep this encoder simple).
+        start = i
+        i += 1
+        while i < n and i - start < 128:
+            if i + 2 < n and data[i] == data[i + 1] == data[i + 2]:
+                break
+            i += 1
+        out.append(i - start - 1)
+        out += data[start:i]
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW: MSB-first, ClearCode 256, EOI 257, early change."""
+    CLEAR, EOI = 256, 257
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+        acc &= (1 << nbits) - 1
+
+    emit(CLEAR)
+    w = b""
+    for byte in data:
+        wc = w + bytes([byte])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        table[wc] = next_code
+        next_code += 1
+        # Width bump timing verified against BOTH libtiff (via PIL) and
+        # the native decoder: widen once next_code reaches 2^width.
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4093:
+            emit(CLEAR)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = bytes([byte])
+    if w:
+        emit(table[w])
+    emit(EOI)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+_COMPRESSORS = {
+    1: lambda b: b,  # none
+    5: _lzw_encode,
+    8: zlib.compress,  # Deflate
+    32773: _packbits_encode,
+}
+
+
+# ---------------------------------------------------------------------------
+# Parametric TIFF writer
+# ---------------------------------------------------------------------------
+
+
+def write_tiff(
+    path: str,
+    chw: np.ndarray,
+    *,
+    bigtiff: bool = False,
+    big_endian: bool = False,
+    tiled: bool = False,
+    compression: int = 1,
+    predictor: int = 1,
+    planar: int = 1,
+    rows_per_strip: int = 10,
+    tile: tuple[int, int] = (16, 16),
+) -> None:
+    assert chw.ndim == 3
+    samples, height, width = chw.shape
+    dtype = chw.dtype
+    itemsize = dtype.itemsize
+    bo = ">" if big_endian else "<"
+    fmt_code = {"u": 1, "i": 2, "f": 3}[dtype.kind]
+
+    def predict(block: np.ndarray) -> np.ndarray:
+        # Horizontal differencing per row per sample over native elements;
+        # unsigned wraparound is the spec'd modulo arithmetic.
+        if predictor == 1:
+            return block
+        diffed = block.astype(dtype, copy=True)
+        view = diffed.view(dtype)
+        view[..., 1:] = view[..., 1:] - view[..., :-1]
+        return diffed
+
+    # Chunk the image: list of payload bytes in file order. For planar=2
+    # the chunks of plane 0 all precede plane 1's (TIFF 6.0 layout).
+    def rows_chunk(plane_arr, y0, rows):
+        # plane_arr: [C',H,W] where C'=samples (contig) or 1 (planar)
+        block = plane_arr[:, y0 : y0 + rows, :]
+        # contig interleave: HWC; planar: HW
+        block = np.transpose(block, (1, 2, 0))  # H,W,C'
+        # predictor works along the row (W axis) per channel: operate on
+        # [H, C', W]
+        pre = predict(np.transpose(block, (0, 2, 1)))
+        back = np.transpose(pre, (0, 2, 1))  # H,W,C'
+        return back.astype(dtype.newbyteorder(bo)).tobytes()
+
+    def tile_chunk(plane_arr, ty, tx):
+        th, tw = tile
+        cprime = plane_arr.shape[0]
+        block = np.zeros((cprime, th, tw), dtype)
+        ys, xs = ty * th, tx * tw
+        sub = plane_arr[:, ys : ys + th, xs : xs + tw]
+        block[:, : sub.shape[1], : sub.shape[2]] = sub
+        hwc = np.transpose(block, (1, 2, 0))
+        pre = predict(np.transpose(hwc, (0, 2, 1)))
+        back = np.transpose(pre, (0, 2, 1))
+        return back.astype(dtype.newbyteorder(bo)).tobytes()
+
+    planes = [chw] if planar == 1 else [chw[c : c + 1] for c in range(samples)]
+    payloads = []
+    if tiled:
+        th, tw = tile
+        tiles_y, tiles_x = -(-height // th), -(-width // tw)
+        for plane in planes:
+            for ty in range(tiles_y):
+                for tx in range(tiles_x):
+                    payloads.append(tile_chunk(plane, ty, tx))
+    else:
+        for plane in planes:
+            for y0 in range(0, height, rows_per_strip):
+                rows = min(rows_per_strip, height - y0)
+                payloads.append(rows_chunk(plane, y0, rows))
+    payloads = [_COMPRESSORS[compression](p) for p in payloads]
+
+    # --- tags ---
+    SHORT, LONG, LONG8 = 3, 4, 16
+    tags = [
+        (256, LONG, [width]),
+        (257, LONG, [height]),
+        (258, SHORT, [itemsize * 8] * samples),
+        (259, SHORT, [compression]),
+        (262, SHORT, [1]),
+        (277, SHORT, [samples]),
+        (284, SHORT, [planar]),
+        (339, SHORT, [fmt_code] * samples),
+    ]
+    if predictor != 1:
+        tags.append((317, SHORT, [predictor]))
+    if tiled:
+        tags.append((322, LONG, [tile[1]]))
+        tags.append((323, LONG, [tile[0]]))
+        off_tag, cnt_tag = 324, 325
+    else:
+        tags.append((278, LONG, [rows_per_strip]))
+        off_tag, cnt_tag = 273, 279
+
+    n = len(payloads)
+    off_type = LONG8 if bigtiff else LONG
+    type_sizes = {SHORT: 2, LONG: 4, LONG8: 8}
+    n_entries = len(tags) + 2
+    if bigtiff:
+        header_size, entry_size, count_size, next_size = 16, 20, 8, 8
+        inline_max = 8
+    else:
+        header_size, entry_size, count_size, next_size = 8, 12, 2, 4
+        inline_max = 4
+    ifd_size = count_size + n_entries * entry_size + next_size
+
+    def packed(typ, values):
+        code = {SHORT: "H", LONG: "I", LONG8: "Q"}[typ]
+        return b"".join(struct.pack(bo + code, v) for v in values)
+
+    # layout: header | IFD | external | payloads
+    ext_needed = 0
+    for _, typ, values in tags:
+        size = type_sizes[typ] * len(values)
+        if size > inline_max:
+            ext_needed += size + (size % 2)
+    for _ in range(2):  # offsets + counts arrays
+        size = type_sizes[off_type] * n
+        if size > inline_max:
+            ext_needed += size + (size % 2)
+    data_base = header_size + ifd_size + ext_needed
+    offsets = []
+    acc = data_base
+    for p in payloads:
+        offsets.append(acc)
+        acc += len(p)
+    tags.append((off_tag, off_type, offsets))
+    tags.append((cnt_tag, off_type, [len(p) for p in payloads]))
+    tags.sort(key=lambda t: t[0])
+
+    out = bytearray()
+    if bigtiff:
+        out += (b"MM" if big_endian else b"II") + struct.pack(bo + "HHH", 43, 8, 0)
+        out += struct.pack(bo + "Q", header_size)
+        out += struct.pack(bo + "Q", n_entries)
+    else:
+        out += (b"MM" if big_endian else b"II") + struct.pack(bo + "H", 42)
+        out += struct.pack(bo + "I", header_size)
+        out += struct.pack(bo + "H", n_entries)
+    ext = bytearray()
+    ext_cursor = header_size + ifd_size
+    count_code = "Q" if bigtiff else "I"
+    for tag, typ, values in tags:
+        blob = packed(typ, values)
+        out += struct.pack(bo + "HH" + count_code, tag, typ, len(values))
+        if len(blob) <= inline_max:
+            out += blob.ljust(inline_max, b"\x00")
+        else:
+            out += struct.pack(bo + ("Q" if bigtiff else "I"), ext_cursor)
+            if len(blob) % 2:
+                blob += b"\x00"
+            ext += blob
+            ext_cursor += len(blob)
+    out += struct.pack(bo + ("Q" if bigtiff else "I"), 0)  # next IFD
+    out += ext
+    assert len(out) == data_base, (len(out), data_base)
+    for p in payloads:
+        out += p
+    with open(path, "wb") as fh:
+        fh.write(bytes(out))
+
+
+# ---------------------------------------------------------------------------
+# The matrix
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("bigtiff", [False, True])
+@pytest.mark.parametrize("tiled", [False, True])
+@pytest.mark.parametrize("compression", [1, 5, 8, 32773])
+@pytest.mark.parametrize("predictor", [1, 2])
+@pytest.mark.parametrize("planar", [1, 2])
+def test_matrix_native_roundtrip(
+    tmp_path, rng, bigtiff, tiled, compression, predictor, planar
+):
+    arr = rng.integers(0, 256, (3, 37, 29)).astype(np.uint8)
+    path = str(tmp_path / "m.tif")
+    write_tiff(
+        path,
+        arr,
+        bigtiff=bigtiff,
+        tiled=tiled,
+        compression=compression,
+        predictor=predictor,
+        planar=planar,
+    )
+    nfo = tiff.info(path)
+    assert (nfo.height, nfo.width, nfo.samples) == (37, 29, 3)
+    got = tiff.imread(path)
+    np.testing.assert_array_equal(got, arr)
+    win = tiff.read_window(path, 11, 5, 19, 17)
+    np.testing.assert_array_equal(win, arr[:, 11:30, 5:22])
+
+
+@pytest.mark.parametrize("big_endian", [False, True])
+@pytest.mark.parametrize("compression", [1, 8])
+def test_matrix_endianness_uint16(tmp_path, rng, big_endian, compression):
+    # 16-bit elements exercise byte swapping and predictor-on-u16 paths.
+    arr = rng.integers(0, 65536, (2, 23, 31)).astype(np.uint16)
+    path = str(tmp_path / "e.tif")
+    write_tiff(
+        path,
+        arr,
+        big_endian=big_endian,
+        compression=compression,
+        predictor=2,
+    )
+    np.testing.assert_array_equal(tiff.imread(path), arr)
+
+
+def test_single_band_float32(tmp_path, rng):
+    arr = rng.standard_normal((1, 21, 18)).astype(np.float32)
+    path = str(tmp_path / "f.tif")
+    write_tiff(path, arr, compression=8)
+    got = tiff.imread(path)
+    assert got.shape == (21, 18)
+    np.testing.assert_array_equal(got, arr[0])
+
+
+# ---------------------------------------------------------------------------
+# Fallback behavior
+# ---------------------------------------------------------------------------
+
+
+def test_unsupported_compression_falls_back(tmp_path, rng):
+    # JPEG-in-TIFF (compression 7): the native reader opens the IFD but
+    # cannot decode; reads must demote to the PIL fallback (lossy codec:
+    # compare approximately).
+    from PIL import Image
+
+    arr = rng.integers(0, 256, (48, 52)).astype(np.uint8)
+    path = str(tmp_path / "jpeg.tif")
+    Image.fromarray(arr).save(path, compression="jpeg", quality=95)
+    assert tiff.info(path).compression == 7  # native parse still works
+    got = tiff.imread(path)
+    assert got.shape == arr.shape and got.dtype == arr.dtype
+    assert np.abs(got.astype(int) - arr.astype(int)).mean() < 8.0
+    win = tiff.read_window(path, 8, 4, 16, 20)
+    np.testing.assert_array_equal(win, got[8:24, 4:24])
+
+
+def test_truncated_ifd_falls_back_or_raises_cleanly(tmp_path, rng):
+    # Truncate a healthy file inside the pixel data: the native reader
+    # fails the strip read; PIL may or may not salvage it, but the call
+    # must either return data or raise IOError — never abort.
+    arr = rng.integers(0, 256, (2, 40, 40)).astype(np.uint8)
+    path = str(tmp_path / "t.tif")
+    tiff.imwrite(path, arr)
+    size = os.path.getsize(path)
+    with open(path, "r+b") as fh:
+        fh.truncate(size - 800)
+    try:
+        got = tiff.imread(path)
+        assert got.shape[-2:] == (40, 40)
+    except IOError:
+        pass
+
+
+def test_garbage_file_raises_ioerror(tmp_path):
+    path = str(tmp_path / "g.tif")
+    with open(path, "wb") as fh:
+        fh.write(b"II*\x00" + b"\xde\xad\xbe\xef" * 64)
+    with pytest.raises(IOError):
+        tiff.imread(path)
+
+
+def test_nonexistent_raises_ioerror(tmp_path):
+    with pytest.raises(IOError):
+        tiff.imread(str(tmp_path / "missing.tif"))
+
+
+def test_batch_read_mixes_native_and_fallback(tmp_path, rng):
+    from PIL import Image
+
+    native_arr = rng.integers(0, 256, (3, 64, 64)).astype(np.uint8)
+    native_path = str(tmp_path / "n.tif")
+    tiff.imwrite(native_path, native_arr)
+    fb_arr = rng.integers(0, 256, (64, 64)).astype(np.uint8)
+    fb_path = str(tmp_path / "fb.tif")
+    Image.fromarray(fb_arr).save(fb_path, compression="jpeg", quality=95)
+    # Prime the fallback demotion for the JPEG file.
+    tiff.imread(fb_path)
+
+    outs = tiff.read_windows_batch(
+        [native_path, fb_path, native_path],
+        [(0, 0, 32, 32), (8, 8, 16, 16), (30, 30, 34, 34)],
+    )
+    np.testing.assert_array_equal(outs[0], native_arr[:, :32, :32])
+    assert outs[1].shape == (16, 16)
+    np.testing.assert_array_equal(outs[2], native_arr[:, 30:, 30:])
