@@ -75,6 +75,8 @@ def main() -> dict:
 
     state, flat_spec = flatten_train_state(state)
 
+    roofline = {}
+
     def measure(transform_params, n_steps=20):
         """Times the exact fit_model configuration: augmentation (when
         active) as its own XLA program feeding the flat-state train step
@@ -89,6 +91,29 @@ def main() -> dict:
             spec=flat_spec,
             fuse_augmentation=False,
         )
+        # Roofline absolutes for the bare train step (PERF.md:112-152
+        # methodology): XLA's own cost analysis of the compiled program,
+        # so the record stands on measured flops/bytes rather than the
+        # estimated reference-GPU figure alone.
+        is_no_aug = not (
+            transform_params.hflip_active
+            or transform_params.vflip_active
+            or transform_params.rotate_active
+        )
+        if is_no_aug and not roofline:
+            try:
+                compiled = step.lower(
+                    state, batch, jax.random.key(0)
+                ).compile()
+                analysis = compiled.cost_analysis()
+                if isinstance(analysis, (list, tuple)):
+                    analysis = analysis[0]
+                roofline["flops_per_step"] = float(analysis["flops"])
+                roofline["bytes_per_step"] = float(
+                    analysis["bytes accessed"]
+                )
+            except Exception as exc:  # cost analysis is best-effort
+                roofline["error"] = str(exc)
         augment = make_augment_step(transform_params, ignore_index=0)
         key = jax.random.key(0)
 
@@ -161,6 +186,24 @@ def main() -> dict:
         ),
         "inference_value": round(infer_tps, 2),
     }
+
+    # Measured roofline absolutes (single chip; PERF.md:112-152): MFU and
+    # HBM utilization computed from XLA cost analysis + the measured step
+    # time, against v5e peaks (197 bf16 TFLOP/s, 819 GB/s HBM).
+    if "flops_per_step" in roofline and n_chips == 1:
+        step_time_s = batch_size / (no_aug * n_chips)
+        result["flops"] = roofline["flops_per_step"]
+        result["bytes_accessed"] = roofline["bytes_per_step"]
+        if platform == "tpu":
+            peak_flops, peak_bw = 197e12, 819e9
+            result["mfu"] = round(
+                roofline["flops_per_step"] / (step_time_s * peak_flops), 4
+            )
+            result["hbm_util"] = round(
+                roofline["bytes_per_step"] / (step_time_s * peak_bw), 4
+            )
+    elif "error" in roofline:
+        result["roofline_error"] = roofline["error"][:200]
     print(json.dumps(result))
     return result
 
