@@ -7,7 +7,9 @@
 // *windowed* decode so each crop touches only the bytes it needs, exposed to
 // Python via ctypes (floodplanet_code_tpu/geo/tiff.py).
 //
-// Supported: classic TIFF (II/MM), striped or tiled layout, PlanarConfig
+// Supported: classic TIFF (magic 42) and BigTIFF (magic 43, 64-bit
+// offsets/LONG8 arrays), either byte order (II/MM), striped or tiled
+// layout, PlanarConfig
 // 1 (interleaved) and 2 (band-sequential), SamplesPerPixel >= 1,
 // BitsPerSample 8/16/32/64, SampleFormat uint/int/float, Compression none
 // (1), LZW (5), Deflate (8 / 32946), PackBits (32773), horizontal Predictor
