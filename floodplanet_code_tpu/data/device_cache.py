@@ -138,20 +138,120 @@ def build_device_cache(
     )
 
 
-def make_batch_builder(
-    cache: DeviceSceneCache, out_shardings=None, rows_sharding=None
-):
-    """Jitted: (rows [B,5] int32) -> {image, target, mean, std} on device.
+def build_device_cache_sharded(
+    dataset,
+    mesh,
+    max_bytes_per_device: int = 6 << 30,
+    axis: str = "pod",
+) -> DeviceSceneCache | None:
+    """Pod-sharded variant: the scene stacks shard over ``axis`` instead of
+    replicating, so per-device HBM residency is ~total/n_pods — the
+    pod-scale data path (a dataset too big to replicate still caches when
+    it fits divided across slices).
 
-    Exactly replicates the host path's per-example pipeline: fixed-size
-    dynamic slice, ragged-edge mask, normalize_stats semantics
-    (null / global / local), zero / ignore_index padding.
-
-    ``rows_sharding``: required under multi-host — every input of a
-    multi-process jit must be a global array, so the (identical,
-    deterministically seeded) per-host row batch is placed replicated on
-    the global mesh before the call.
+    Each host loads ONLY the scenes its addressable shards own
+    (jax.make_array_from_callback), so host RAM is not replicated either.
+    Batch assembly pays one per-step psum of the crop batch over the DCN
+    'pod' axis (make_batch_builder_podsharded) — a few MB against the
+    full stacks' GBs.
     """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if axis not in mesh.axis_names:
+        return None
+    n_pods = int(mesh.shape[axis])
+    paths = sorted({e.image_path for e in dataset.dataset})
+    if not paths:
+        return None
+    crop_hw = (dataset.slice_params.height, dataset.slice_params.width)
+    shapes = []
+    for p in paths:
+        info = dataset._tiff_info(dataset._label_path(p))
+        shapes.append((info.height, info.width))
+    hp = max(h for h, _ in shapes) + crop_hw[0]
+    wp = max(w for _, w in shapes) + crop_hw[1]
+    n_channels = dataset.n_channels.get(
+        "ms_image", next(iter(dataset.n_channels.values()))
+    )
+    # Pad the scene count to a multiple of the pod axis; dummy slots are
+    # zero/ignore and never referenced by index_rows.
+    n_padded = -(-len(paths) // n_pods) * n_pods
+    nbytes = n_padded * hp * wp * (n_channels * 4 + 4)
+    if nbytes // n_pods > max_bytes_per_device:
+        return None
+
+    scene_index = {path: slot for slot, path in enumerate(paths)}
+
+    def load_slot(slot: int):
+        if slot >= len(paths):
+            return None  # padding slot
+        path = paths[slot]
+        cp = _full_scene_crop(dataset, path)
+        chw = dataset._load_crop_norm_image(path, cp)
+        lbl = dataset._load_label_image(dataset._label_path(path), cp)
+        return np.transpose(chw, (1, 2, 0)), lbl
+
+    loaded: dict[int, tuple] = {}
+
+    def image_cb(index):
+        sl = index[0]
+        start, stop = sl.indices(n_padded)[:2]
+        block = np.zeros((stop - start, hp, wp, n_channels), np.float32)
+        for slot in range(start, stop):
+            if slot not in loaded:
+                loaded[slot] = load_slot(slot)
+            entry = loaded[slot]
+            if entry is not None:
+                img, _ = entry
+                block[slot - start, : img.shape[0], : img.shape[1]] = img
+        return block
+
+    def label_cb(index):
+        sl = index[0]
+        start, stop = sl.indices(n_padded)[:2]
+        block = np.full(
+            (stop - start, hp, wp), dataset.ignore_index, np.int32
+        )
+        for slot in range(start, stop):
+            if slot not in loaded:
+                loaded[slot] = load_slot(slot)
+            entry = loaded[slot]
+            if entry is not None:
+                _, lbl = entry
+                block[slot - start, : lbl.shape[0], : lbl.shape[1]] = lbl
+        return block
+
+    sharding = NamedSharding(mesh, P(axis))
+    images = jax.make_array_from_callback(
+        (n_padded, hp, wp, n_channels), sharding, image_cb
+    )
+    labels = jax.make_array_from_callback((n_padded, hp, wp), sharding, label_cb)
+    loaded.clear()
+
+    gm = gs = None
+    if dataset.norm_mode == "global":
+        params = dataset.global_norm_params[dataset.sensor_key]
+        gm = jnp.asarray(params["mean"], jnp.float32)
+        gs = jnp.asarray(params["std"], jnp.float32)
+    return DeviceSceneCache(
+        images=images,
+        labels=labels,
+        scene_index=scene_index,
+        crop_hw=crop_hw,
+        ignore_index=int(dataset.ignore_index),
+        norm_mode=dataset.norm_mode,
+        global_mean=gm,
+        global_std=gs,
+        nbytes=int(nbytes),
+    )
+
+
+def _make_crop_one(cache: DeviceSceneCache):
+    """Per-example device pipeline shared by both builders: fixed-size
+    dynamic slice, ragged-edge mask, normalize_stats semantics
+    (null / global / local), zero / ignore_index padding."""
     import jax
     import jax.numpy as jnp
 
@@ -185,6 +285,28 @@ def make_batch_builder(
         lbl = jnp.where(inside, lbl, ignore)
         return img, lbl, mean.reshape(1, 1, -1), std.reshape(1, 1, -1)
 
+    return one
+
+
+def make_batch_builder(
+    cache: DeviceSceneCache, out_shardings=None, rows_sharding=None
+):
+    """Jitted: (rows [B,5] int32) -> {image, target, mean, std} on device.
+
+    Exactly replicates the host path's per-example pipeline: fixed-size
+    dynamic slice, ragged-edge mask, normalize_stats semantics
+    (null / global / local), zero / ignore_index padding.
+
+    ``rows_sharding``: required under multi-host — every input of a
+    multi-process jit must be a global array, so the (identical,
+    deterministically seeded) per-host row batch is placed replicated on
+    the global mesh before the call.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    one = _make_crop_one(cache)
+
     # The stacks are jit *arguments*, not closure captures: closed-over
     # concrete arrays get baked into the HLO as literals, which ships the
     # whole 0.9 GB stack to the compiler (observed HTTP 413 from a remote
@@ -200,6 +322,89 @@ def make_batch_builder(
         rows = jnp.asarray(rows)
         if rows_sharding is not None:
             rows = jax.device_put(rows, rows_sharding)
+        return build_impl(cache.images, cache.labels, rows)
+
+    return build
+
+
+def make_batch_builder_podsharded(
+    cache: DeviceSceneCache,
+    mesh,
+    batch_size: int,
+    axis: str = "pod",
+    rows_sharding=None,
+):
+    """Batch builder for a pod-sharded cache (build_device_cache_sharded).
+
+    shard_map over the full mesh: every cell slices the examples whose
+    scenes live in ITS local stack shard (contributing zeros for the rest,
+    exactly one owner per example), one psum over the ``axis`` (DCN) axis
+    assembles the full crop batch, and each cell keeps its own batch
+    shard. Batch content is IDENTICAL to the replicated builder's —
+    proven by tests/test_device_cache_sharded.py — at the cost of a
+    ~B x crop-sized psum per step instead of n_pods x full-stack HBM.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    one = _make_crop_one(cache)
+    batch_axes = tuple(a for a in mesh.axis_names if a != "space")
+    n_shards = 1
+    for a in batch_axes:
+        n_shards *= int(mesh.shape[a])
+    if batch_size % n_shards:
+        raise ValueError(
+            f"batch_size {batch_size} must divide over {n_shards} batch shards"
+        )
+    b_cell = batch_size // n_shards
+    scenes_per_pod = int(cache.images.shape[0]) // int(mesh.shape[axis])
+
+    def cell(images_shard, labels_shard, rows):
+        pod = jax.lax.axis_index(axis)
+
+        def one_owned(row):
+            local = row[0] - pod * scenes_per_pod
+            owned = (local >= 0) & (local < scenes_per_pod)
+            local_row = jnp.concatenate(
+                [jnp.clip(local, 0, scenes_per_pod - 1)[None], row[1:]]
+            )
+            img, lbl, mean, std = one(images_shard, labels_shard, local_row)
+            zero = lambda x: jnp.where(owned, x, jnp.zeros_like(x))
+            return zero(img), zero(lbl), zero(mean), zero(std)
+
+        img, lbl, mean, std = jax.vmap(one_owned)(rows)
+        # Exactly one pod owns each example; the psum is the exchange.
+        img, mean, std = jax.lax.psum((img, mean, std), axis)
+        lbl = jax.lax.psum(lbl, axis)
+        # Keep this cell's batch shard (row-major over the batch axes,
+        # matching P(batch_axes) layout).
+        shard_id = jnp.zeros((), jnp.int32)
+        for a in batch_axes:
+            shard_id = shard_id * mesh.shape[a] + jax.lax.axis_index(a)
+        start = shard_id * b_cell
+        take = lambda x: jax.lax.dynamic_slice_in_dim(x, start, b_cell, 0)
+        return {
+            "image": take(img),
+            "target": take(lbl),
+            "mean": take(mean),
+            "std": take(std),
+        }
+
+    batch_spec = P(batch_axes)
+    sharded = jax.shard_map(
+        cell,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P()),
+        out_specs={k: batch_spec for k in ("image", "target", "mean", "std")},
+    )
+    build_impl = jax.jit(sharded)
+
+    if rows_sharding is None:
+        rows_sharding = NamedSharding(mesh, P())
+
+    def build(rows):
+        rows = jax.device_put(jnp.asarray(rows), rows_sharding)
         return build_impl(cache.images, cache.labels, rows)
 
     return build

@@ -321,6 +321,7 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
         mesh = make_hybrid_mesh(n_procs, total // n_procs)
     else:
         mesh = make_mesh(cfg.select("tpu.n_devices"))
+    print(f"[fit] mesh axes: {dict(mesh.shape)}")
     data_sharding = batch_shardings_for(mesh)
     n_data = n_batch_shards(mesh)
     # The global batch must split evenly over both the data-axis shards and
@@ -516,44 +517,79 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
     if cache_bytes > 0:
         from floodplanet_code_tpu.data.device_cache import (
             build_device_cache,
+            build_device_cache_sharded,
             make_batch_builder,
+            make_batch_builder_podsharded,
         )
         from floodplanet_code_tpu.parallel.mesh import replicated_sharding
 
+        # Stack placement (tpu.device_cache_shard): 'replicate' keeps the
+        # full stacks on every device; 'pod' shards scenes over the DCN
+        # axis (per-device residency ~ total/n_pods, one crop-batch psum
+        # per step — the pod-scale data path); 'auto' replicates when the
+        # budget allows and falls back to pod-sharding when only the
+        # divided stacks fit.
+        shard_mode = str(
+            cfg.select("tpu.device_cache_shard", "auto") or "auto"
+        )
+        can_pod = "pod" in mesh.axis_names
+
+        def _build_one(dataset, budget):
+            """Returns (cache, pod_sharded?, per_device_bytes)."""
+            if shard_mode in ("auto", "replicate"):
+                cache = build_device_cache(
+                    dataset, budget, replicated_sharding(mesh)
+                )
+                if cache is not None:
+                    return cache, False, cache.nbytes
+            if shard_mode in ("auto", "pod") and can_pod:
+                cache = build_device_cache_sharded(dataset, mesh, budget)
+                if cache is not None:
+                    per_dev = cache.nbytes // int(mesh.shape["pod"])
+                    return cache, True, per_dev
+            return None, False, 0
+
         try:
-            stack_sharding = replicated_sharding(mesh)
             builder_shardings = {
                 k: data_sharding[k] for k in ("image", "target", "mean", "std")
             }
             rows_sharding = (
-                stack_sharding if multihost.process_count() > 1 else None
+                replicated_sharding(mesh)
+                if multihost.process_count() > 1
+                else None
             )
-            train_cache = build_device_cache(
-                train_dataset, cache_bytes, stack_sharding
-            )
-            if train_cache is not None:
-                train_builder = make_batch_builder(
-                    train_cache,
+
+            def _make_builder(cache, pod_sharded):
+                if pod_sharded:
+                    return make_batch_builder_podsharded(
+                        cache, mesh, batch_size, rows_sharding=rows_sharding
+                    )
+                return make_batch_builder(
+                    cache,
                     out_shardings=builder_shardings,
                     rows_sharding=rows_sharding,
                 )
-                # The byte budget covers train + valid COMBINED: the valid
-                # cache only gets what the train stacks left over, so total
-                # HBM residency never exceeds tpu.device_data_bytes.
-                valid_cache = build_device_cache(
-                    valid_dataset,
-                    max(0, cache_bytes - train_cache.nbytes),
-                    stack_sharding,
+
+            train_cache, train_pod, train_dev_bytes = _build_one(
+                train_dataset, cache_bytes
+            )
+            if train_cache is not None:
+                train_builder = _make_builder(train_cache, train_pod)
+                # The byte budget covers train + valid COMBINED (per-device
+                # residency): the valid cache only gets what the train
+                # stacks left over.
+                valid_cache, valid_pod, valid_dev_bytes = _build_one(
+                    valid_dataset, max(0, cache_bytes - train_dev_bytes)
                 )
                 if valid_cache is not None:
-                    valid_builder = make_batch_builder(
-                        valid_cache,
-                        out_shardings=builder_shardings,
-                        rows_sharding=rows_sharding,
-                    )
+                    valid_builder = _make_builder(valid_cache, valid_pod)
+                shard_note = " (pod-sharded)" if train_pod or (
+                    valid_cache is not None and valid_pod
+                ) else ""
                 print(
                     f"[fit] device data cache: "
-                    f"{(train_cache.nbytes + (valid_cache.nbytes if valid_cache else 0)) / 1e9:.2f} GB in HBM"
+                    f"{(train_dev_bytes + (valid_dev_bytes if valid_cache else 0)) / 1e9:.2f} GB in HBM"
+                    f"{shard_note}"
                 )
         except Exception as exc:  # pragma: no cover - defensive fallback
             print(f"[fit] device data cache unavailable ({exc}); host loader")
@@ -775,6 +811,16 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
                 f"val_IoU {monitored.get(MONITOR_KEY, 0.0):.4f} "
                 f"water_IoU {monitored.get('val_water_IoU', 0.0):.4f} "
                 f"({tiles_per_sec:.1f} tiles/s)"
+            )
+        if cfg.select("tpu.log_all_hosts", False):
+            # Per-host metric line (every process, host-tagged): multi-host
+            # tests assert every process computed identical replicated
+            # metrics, not just that the coordinator's file looks right.
+            print(
+                f"HOSTMETRIC {epoch} "
+                f"loss {float(np.asarray(train_metrics['train_loss'])):.6f} "
+                f"val_IoU {monitored.get(MONITOR_KEY, 0.0):.6f} "
+                f"water_IoU {monitored.get('val_water_IoU', 0.0):.6f}"
             )
         # Collective: orbax synchronizes all hosts inside save (the
         # coordinator alone writes the side files / retention deletes).

@@ -1,23 +1,26 @@
-"""Subprocess worker for the 2-process jax.distributed CPU test.
+"""Subprocess worker for the multi-process jax.distributed CPU tests.
 
 Invoked by tests/test_multihost.py:
 
     python _multihost_worker.py <process_id> <num_processes> <port> \
-        <data_root> <exp_dir>
+        <data_root> <exp_dir> [devices_per_proc=4] [extra_override ...]
 
-Each process gets 4 virtual CPU devices; the global mesh spans 8. Runs one
-short fit_model epoch over the synthetic dataset and prints a JSON result
-line for the parent to compare across processes.
+Each process gets ``devices_per_proc`` virtual CPU devices; the global
+mesh spans num_processes x devices_per_proc. Runs one short fit_model
+epoch over the synthetic dataset and prints a JSON result line for the
+parent to compare across processes.
 """
 
 import json
 import os
 import sys
 
+_DEVICES_PER_PROC = int(sys.argv[6]) if len(sys.argv) > 6 else 4
+
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
-    + " --xla_force_host_platform_device_count=4"
+    + f" --xla_force_host_platform_device_count={_DEVICES_PER_PROC}"
 ).strip()
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 
@@ -28,6 +31,7 @@ def main():
     port = int(sys.argv[3])
     data_root = sys.argv[4]
     exp_dir = sys.argv[5]
+    extra_overrides = list(sys.argv[7:])
 
     import jax
 
@@ -58,6 +62,8 @@ def main():
                 "limit_train_batches=3",
                 "limit_val_batches=2",
                 "transforms.rotate.active=false",
+                "tpu.log_all_hosts=true",
+                *extra_overrides,
             ]
         )
         # Cluster join happens INSIDE fit_model via the tpu.multihost
@@ -72,7 +78,9 @@ def main():
 
     best = fit_model(make_cfg(1), overwrite_exp_dir=exp_dir)
     assert jax.process_count() == num_processes
-    assert len(jax.devices()) == 4 * num_processes, jax.devices()
+    assert len(jax.devices()) == _DEVICES_PER_PROC * num_processes, (
+        jax.devices()
+    )
 
     # Checkpoint round-trip under the 2-process cluster: the second fit
     # must restore epoch 0's collective checkpoint on EVERY process and
@@ -94,6 +102,11 @@ def main():
                 (e["metric"] for e in entries), default=None
             )
             result["epochs_seen"] = sorted({e["epoch"] for e in entries})
+            # Full (epoch, metric) trajectory: the parent asserts it is
+            # IDENTICAL across processes (replicated eval state).
+            result["metric_by_epoch"] = sorted(
+                (e["epoch"], e["metric"]) for e in entries
+            )
     print("RESULT " + json.dumps(result))
 
 

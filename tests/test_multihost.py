@@ -65,71 +65,118 @@ class TestProcessShardLoader:
             BatchLoader(ds, batch_size=5, process_shard=(0, 2))
 
 
-@pytest.mark.slow
-class TestTwoProcessCluster:
-    def test_fit_across_two_processes(self, tmp_path):
-        """2-process jax.distributed CPU cluster trains one epoch; both
-        processes agree on the result and only process 0 checkpoints."""
-        data_root = str(tmp_path / "data")
-        make_synthetic_csdap(data_root, sensors=("S1",), scene_hw=(96, 128))
-        with socket.socket() as s:
-            s.bind(("localhost", 0))
-            port = s.getsockname()[1]
+def _run_cluster(
+    tmp_path,
+    num_processes: int,
+    devices_per_proc: int,
+    extra_overrides: tuple = (),
+):
+    """Spawn a real jax.distributed CPU cluster and return (results, outs)."""
+    data_root = str(tmp_path / "data")
+    make_synthetic_csdap(data_root, sensors=("S1",), scene_hw=(96, 128))
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
 
-        # One SHARED experiment dir: orbax checkpointing is a collective
-        # over a shared filesystem (the real-pod layout).
-        shared = tmp_path / "shared"
-        exp_dir = str(shared / "exp")
-        os.makedirs(shared, exist_ok=True)
-        with open(shared / "dataset_dirs.json", "w") as handle:
-            json.dump({"floodplanet": data_root + "/"}, handle)
+    # One SHARED experiment dir: orbax checkpointing is a collective
+    # over a shared filesystem (the real-pod layout).
+    shared = tmp_path / "shared"
+    exp_dir = str(shared / "exp")
+    os.makedirs(shared, exist_ok=True)
+    with open(shared / "dataset_dirs.json", "w") as handle:
+        json.dump({"floodplanet": data_root + "/"}, handle)
 
-        procs = []
-        for pid in (0, 1):
-            env = dict(os.environ)
-            env["PYTHONPATH"] = REPO_ROOT
-            env.pop("PALLAS_AXON_POOL_IPS", None)
-            procs.append(
-                subprocess.Popen(
-                    [
-                        sys.executable,
-                        os.path.join(REPO_ROOT, "tests", "_multihost_worker.py"),
-                        str(pid),
-                        "2",
-                        str(port),
-                        data_root + "/",
-                        exp_dir,
-                    ],
-                    stdout=subprocess.PIPE,
-                    stderr=subprocess.STDOUT,
-                    text=True,
-                    env=env,
-                )
+    procs = []
+    for pid in range(num_processes):
+        env = dict(os.environ)
+        env["PYTHONPATH"] = REPO_ROOT
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable,
+                    os.path.join(REPO_ROOT, "tests", "_multihost_worker.py"),
+                    str(pid),
+                    str(num_processes),
+                    str(port),
+                    data_root + "/",
+                    exp_dir,
+                    str(devices_per_proc),
+                    *extra_overrides,
+                ],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+                env=env,
             )
-        outs = [p.communicate(timeout=600)[0] for p in procs]
-        for pid, (proc, out) in enumerate(zip(procs, outs)):
-            assert proc.returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
-
-        results = []
-        for out in outs:
-            lines = [l for l in out.splitlines() if l.startswith("RESULT ")]
-            assert lines, f"no RESULT line:\n{out[-2000:]}"
-            results.append(json.loads(lines[-1][len("RESULT "):]))
-
-        assert all(r["process_count"] == 2 for r in results)
-        assert results[0]["index_exists"] and results[1]["index_exists"]
-        # Both processes computed the same (replicated) best metric.
-        assert results[0]["best_metric"] == pytest.approx(
-            results[1]["best_metric"], rel=1e-5
         )
-        # Checkpoint round-trip: the second fit resumed epoch 0's
-        # collective checkpoint on every process and trained epoch 1.
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for pid, (proc, out) in enumerate(zip(procs, outs)):
+        assert proc.returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
+
+    results = []
+    for out in outs:
+        lines = [l for l in out.splitlines() if l.startswith("RESULT ")]
+        assert lines, f"no RESULT line:\n{out[-2000:]}"
+        results.append(json.loads(lines[-1][len("RESULT "):]))
+    return exp_dir, results, outs
+
+
+def _assert_cluster_invariants(exp_dir, results, outs, num_processes):
+    assert all(r["process_count"] == num_processes for r in results)
+    assert all(r["index_exists"] for r in results)
+    # Every process computed the same (replicated) best metric.
+    for r in results[1:]:
+        assert r["best_metric"] == pytest.approx(
+            results[0]["best_metric"], rel=1e-5
+        )
+    # IDENTICAL per-epoch metrics on every host, computed locally by each
+    # process (HOSTMETRIC lines, tpu.log_all_hosts) — not just the
+    # coordinator's shared checkpoint index.
+    host_metrics = []
+    for out in outs:
+        host_metrics.append(
+            [l for l in out.splitlines() if l.startswith("HOSTMETRIC ")]
+        )
+    assert host_metrics[0], outs[0][-2000:]
+    for metrics in host_metrics[1:]:
+        assert metrics == host_metrics[0]
+    # The multi-host fit routes through the hierarchical DCN x ICI mesh
+    # (('pod', 'data'), parallel/mesh.make_hybrid_mesh).
+    for out in outs:
+        assert "[fit] mesh axes: {'pod': " + str(num_processes) in out, (
+            out[-2000:]
+        )
+    # Checkpoint round-trip: the second fit resumed epoch 0's collective
+    # checkpoint on every process and trained epoch 1.
+    for out in outs:
+        assert "[fit] resumed from" in out, out[-2000:]
+    assert results[0].get("epochs_seen") and 1 in results[0]["epochs_seen"]
+    # The device-resident data cache stayed on under multi-host (the
+    # SPMD batch-builder path, data/device_cache.py).
+    for out in outs:
+        assert "[fit] device data cache" in out, out[-2000:]
+    # Exactly one TensorBoard log dir: the coordinator's.
+    assert os.path.isdir(os.path.join(exp_dir, "tensorboard_logs"))
+
+
+@pytest.mark.slow
+class TestMultiProcessCluster:
+    def test_fit_across_two_processes(self, tmp_path):
+        """2-process x 4-device jax.distributed CPU cluster: hybrid
+        (pod=2, data=4) mesh, identical host metrics, resume, device
+        cache, coordinator-only side effects."""
+        exp_dir, results, outs = _run_cluster(tmp_path, 2, 4)
+        _assert_cluster_invariants(exp_dir, results, outs, 2)
+
+    def test_fit_across_four_processes_pod_sharded_cache(self, tmp_path):
+        """4-process x 2-device cluster: the (pod=4, data=2) hybrid mesh
+        exercises a DCN axis wider than the per-pod ICI axis, with the
+        device cache FORCED pod-sharded (each process holds 1/4 of the
+        scene stacks; batch assembly psums crops over 'pod')."""
+        exp_dir, results, outs = _run_cluster(
+            tmp_path, 4, 2, ("tpu.device_cache_shard=pod",)
+        )
+        _assert_cluster_invariants(exp_dir, results, outs, 4)
         for out in outs:
-            assert "[fit] resumed from" in out, out[-2000:]
-        assert results[0].get("epochs_seen") and 1 in results[0]["epochs_seen"]
-        # The device-resident data cache stayed on under multi-host (the
-        # SPMD batch-builder path, data/device_cache.py).
-        for out in outs:
-            assert "[fit] device data cache" in out, out[-2000:]
-        # Exactly one TensorBoard log dir: the coordinator's.
-        assert os.path.isdir(os.path.join(exp_dir, "tensorboard_logs"))
+            assert "(pod-sharded)" in out, out[-2000:]
