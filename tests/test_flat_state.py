@@ -162,6 +162,7 @@ def test_flat_step_matches_nested(optimizer_name):
     assert int(rebuilt.step) == int(state.step) == 3
 
 
+@pytest.mark.slow  # >80s on a contended 1-core box; sibling tests cover the surface in the fast lane
 def test_flat_step_late_fusion_model():
     """LateFusion has per-modality encoders — deeper tree, same packing."""
     batch = _make_batch()
@@ -263,6 +264,7 @@ def test_ema_warmup_schedule_values():
     )
 
 
+@pytest.mark.slow  # >80s on a contended 1-core box; sibling tests cover the surface in the fast lane
 def test_ema_warmup_tracks_where_fixed_decay_lags():
     """At d=0.999 on a 5-step run, the warmed EMA follows the raw params
     while the fixed-decay EMA is still ~stuck at the random init — the

@@ -66,6 +66,7 @@ def shard_ref_inputs(mesh, state, jb):
 
 
 class TestShardTrainStep:
+    @pytest.mark.slow  # >80s on a contended 1-core box; sibling tests cover the surface in the fast lane
     def test_matches_gspmd_three_chained_steps(self, rng):
         gspmd_model, sync_model = models_pair()
         batch = tiny_batch(rng)
@@ -95,6 +96,7 @@ class TestShardTrainStep:
             state_ref.batch_stats, state_sh.batch_stats, rtol=1e-5
         )
 
+    @pytest.mark.slow  # >80s on a contended 1-core box; sibling tests cover the surface in the fast lane
     def test_uneven_ignored_pixels_across_shards(self, rng):
         """Shard 0 nearly all-ignored, others untouched: the global-mean CE
         (psum'd numerator/count) must still match the unsharded loss —

@@ -33,6 +33,7 @@ class TestSpatialMesh:
         with pytest.raises(ValueError):
             make_mesh_2d(8, 2)
 
+    @pytest.mark.slow  # >80s on a contended 1-core box; sibling tests cover the surface in the fast lane
     def test_sp_step_matches_dp_step(self, rng):
         """A dp=2 x sp=4 sharded step must match the unsharded step
         (GSPMD conv halo exchange correctness)."""
@@ -63,6 +64,7 @@ class TestSpatialMesh:
             atol=0.5,
         )
 
+    @pytest.mark.slow  # >80s on a contended 1-core box; sibling tests cover the surface in the fast lane
     def test_hybrid_pod_mesh_matches_unsharded(self, rng):
         """Hierarchical ('pod','data','space') mesh — batch sharded jointly
         over pod x data (the DCN x ICI layout), height over space — must

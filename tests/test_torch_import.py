@@ -179,6 +179,7 @@ def test_align_corners_upsample_matches_torch():
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+@pytest.mark.slow  # >80s on a contended 1-core box; sibling tests cover the surface in the fast lane
 def test_end_to_end_import_cli(tmp_path):
     """Fake Lightning ckpt -> import_checkpoint -> restorable via orbax."""
     import jax

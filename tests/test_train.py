@@ -63,6 +63,7 @@ class TestTrainStep:
                 first = float(logs["loss"])
         assert float(logs["loss"]) < first
 
+    @pytest.mark.slow  # >80s on a contended 1-core box; sibling tests cover the surface in the fast lane
     def test_cosine_schedule_decays_lr(self, rng):
         # Beyond-reference option (lr_schedule=cosine): warmup then cosine
         # to 0; the schedule rides the optax step count so resume restores
@@ -101,6 +102,7 @@ class TestTrainStep:
         with pytest.raises(ValueError):
             build_optimizer("adam", 1e-3, schedule="cosine", total_steps=0)
 
+    @pytest.mark.slow  # >80s on a contended 1-core box; sibling tests cover the surface in the fast lane
     def test_sharded_step_matches_single_device(self, rng):
         """The SPMD-sharded step must be numerically equivalent."""
         model = build_model("ms_model", {"ms_image": 2}, 3, dtype=jnp.float32)
