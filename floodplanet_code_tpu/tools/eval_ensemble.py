@@ -161,9 +161,18 @@ def evaluate_ensemble(
     model = None
     member_variables = []
     for exp_cfg, ckpt in zip(cfgs, checkpoints):
+        # Progress lines double as liveness signals: detached queue runs
+        # watch the log for stalls (scripts/stall_watchdog.sh), and member
+        # restore + the k-forward compile are otherwise silent minutes.
+        print(f"[ensemble] restoring member: {ckpt}", flush=True)
         model, variables = load_model_for_eval(exp_cfg, ckpt, dataset)
         member_variables.append(variables)
     member_variables = tuple(member_variables)
+    print(
+        f"[ensemble] {len(member_variables)} members restored; "
+        f"compiling + evaluating on '{split}'",
+        flush=True,
+    )
 
     mesh = make_mesh(cfg.select("tpu.n_devices"))
     data_sharding = batch_shardings_for(mesh)
@@ -215,10 +224,14 @@ def evaluate_ensemble(
     member_cms = [jnp.zeros((n_classes, n_classes), jnp.float32)] * len(
         member_variables
     )
-    for batch in device_prefetch(iter(loader), sharding=data_sharding, size=2):
+    for n_batches, batch in enumerate(
+        device_prefetch(iter(loader), sharding=data_sharding, size=2)
+    ):
         e_cm, m_cms = eval_step(member_variables, batch)
         ensemble_cm = ensemble_cm + e_cm
         member_cms = [acc + cm for acc, cm in zip(member_cms, m_cms)]
+        if n_batches % 20 == 0:
+            print(f"[ensemble] batch {n_batches}", flush=True)
 
     # Same key convention as fit/predict: the "valid" split reports
     # val_* (the monitored-checkpoint prefix), "test" reports test_*.
