@@ -1,0 +1,64 @@
+#!/bin/bash
+# Round-4 end-of-round TPU sweep. Run AFTER stopping scripts/run_cv_r4.sh
+# (one TPU process at a time). Everything is idempotent and committed by
+# the evidence watcher as it lands.
+#
+#   1. Missing k=3 / surviving-member ensembles (ensemble() skips folds
+#      with a record; re-attempts earlier failures).
+#   2. Greedy soup re-score over every round-4 warmed-EMA fold dir that
+#      has checkpoints but no committed soup.json — the EMA-arm soup
+#      evidence (r3's "greedy keeps only the base" was a prose claim).
+#   3. bench.py once, to validate the new roofline fields on real TPU.
+set -u
+mkdir -p /tmp/cvwork
+printf '{"floodplanet": "/root/reference/"}\n' > /tmp/cvwork/dataset_dirs.json
+cd /tmp/cvwork
+export PYTHONPATH=/root/repo${PYTHONPATH:+:$PYTHONPATH}
+
+R3EMAW=/root/repo/outputs/cv_r3_cosine_emaw
+R3EMA=/root/repo/outputs/cv_r3_cosine_ema
+R3SEED1=/root/repo/outputs/cv_r3_cosine_ema_seed1
+S1_ARM=/root/repo/outputs/cv_r4_emaw_seed1
+S2_ARM=/root/repo/outputs/cv_r4_emaw_seed2
+ENS=/root/repo/outputs/ensemble_r4
+ENS_SURV=/root/repo/outputs/ensemble_r4_surviving
+mkdir -p "$ENS" "$ENS_SURV"
+
+ensemble() {
+  local out=$1; shift
+  [ -f "$out" ] && { echo "[ensemble] done: $out"; return 0; }
+  for m in "$@"; do
+    [ -d "$m/checkpoints" ] || { echo "[ensemble] missing member $m"; return 1; }
+  done
+  timeout 1800 python -m floodplanet_code_tpu.tools.eval_ensemble \
+    "$@" --split valid --out "$out" || echo "[ensemble] FAILED: $out"
+}
+
+echo "=== [sweep 1] missing ensembles ($(date -u)) ==="
+for fold in S1_US-Nebraska L8_US-Nebraska S1_Bangladesh \
+            S1_US-Carolina L8_Bangladesh; do
+  ensemble "$ENS/$fold.json" \
+    "$R3EMAW/$fold" "$S1_ARM/$fold" "$S2_ARM/$fold"
+done
+ensemble "$ENS_SURV/L8_Bangladesh.json" \
+  "$R3EMAW/L8_Bangladesh" "$R3EMA/L8_Bangladesh" "$R3SEED1/L8_Bangladesh"
+ensemble "$ENS_SURV/L8_US-Nebraska.json" \
+  "$R3EMAW/L8_US-Nebraska" "$R3EMA/L8_US-Nebraska"
+
+echo "=== [sweep 2] EMA-arm greedy soups ($(date -u)) ==="
+for arm in "$R3EMAW" "$S1_ARM" "$S2_ARM"; do
+  for fold_dir in "$arm"/*/; do
+    [ -d "$fold_dir/checkpoints" ] || continue
+    if ls "$fold_dir"/checkpoints/soup-*/soup.json >/dev/null 2>&1; then
+      echo "[soup] done: $fold_dir"; continue
+    fi
+    echo "[soup] $fold_dir ($(date -u))"
+    timeout 1500 python -m floodplanet_code_tpu.tools.soup_checkpoints \
+      "$fold_dir" --mode greedy || echo "[soup] FAILED: $fold_dir"
+  done
+done
+
+echo "=== [sweep 3] bench with roofline fields ($(date -u)) ==="
+cd /root/repo
+timeout 1500 python bench.py || echo "[bench] FAILED"
+echo "=== endround sweep done: $(date -u) ==="
