@@ -58,6 +58,19 @@ for arm in "$R3EMAW" "$S1_ARM" "$S2_ARM"; do
   done
 done
 
+echo "=== [sweep 2b] 11-epoch L8 US-Nebraska seed characterization ($(date -u)) ==="
+# The noisy fold's best recipe is the SHORT one (0.427/0.444 historical vs
+# ~0.28-0.38 at 33 epochs); n=3 committed seeds at HEAD characterize it
+# against the reference's 0.431. ~8 min per seed.
+for seed in 0 1 2; do
+  timeout 1500 python -m floodplanet_code_tpu.tools.run_crossval \
+    --sensor L8 --regions US-Nebraska \
+    --batch_size 10 --n_epochs 11 \
+    --out_dir /root/repo/outputs/cv_r4_11ep_seed"$seed" \
+    --override seed_num="$seed" \
+    || echo "[11ep] FAILED seed $seed"
+done
+
 echo "=== [sweep 3] bench with roofline fields ($(date -u)) ==="
 cd /root/repo
 timeout 1500 python bench.py || echo "[bench] FAILED"
