@@ -45,20 +45,7 @@ ensemble "$ENS_SURV/L8_Bangladesh.json" \
 ensemble "$ENS_SURV/L8_US-Nebraska.json" \
   "$R3EMAW/L8_US-Nebraska" "$R3EMA/L8_US-Nebraska"
 
-echo "=== [sweep 2] EMA-arm greedy soups ($(date -u)) ==="
-for arm in "$R3EMAW" "$S1_ARM" "$S2_ARM"; do
-  for fold_dir in "$arm"/*/; do
-    [ -d "$fold_dir/checkpoints" ] || continue
-    if ls "$fold_dir"/checkpoints/soup-*/soup.json >/dev/null 2>&1; then
-      echo "[soup] done: $fold_dir"; continue
-    fi
-    echo "[soup] $fold_dir ($(date -u))"
-    timeout 1500 python -m floodplanet_code_tpu.tools.soup_checkpoints \
-      "$fold_dir" --mode greedy || echo "[soup] FAILED: $fold_dir"
-  done
-done
-
-echo "=== [sweep 2b] 11-epoch L8 US-Nebraska seed characterization ($(date -u)) ==="
+echo "=== [sweep 2] 11-epoch L8 US-Nebraska seed characterization ($(date -u)) ==="
 # The noisy fold's best recipe is the SHORT one (0.427/0.444 historical vs
 # ~0.28-0.38 at 33 epochs); n=3 committed seeds at HEAD characterize it
 # against the reference's 0.431. ~8 min per seed.
@@ -71,7 +58,20 @@ for seed in 0 1 2; do
     || echo "[11ep] FAILED seed $seed"
 done
 
-echo "=== [sweep 3] bench with roofline fields ($(date -u)) ==="
+echo "=== [sweep 3] EMA-arm greedy soups ($(date -u)) ==="
+for arm in "$R3EMAW" "$S1_ARM" "$S2_ARM"; do
+  for fold_dir in "$arm"/*/; do
+    [ -d "$fold_dir/checkpoints" ] || continue
+    if ls "$fold_dir"/checkpoints/soup-*/soup.json >/dev/null 2>&1; then
+      echo "[soup] done: $fold_dir"; continue
+    fi
+    echo "[soup] $fold_dir ($(date -u))"
+    timeout 1500 python -m floodplanet_code_tpu.tools.soup_checkpoints \
+      "$fold_dir" --mode greedy || echo "[soup] FAILED: $fold_dir"
+  done
+done
+
+echo "=== [sweep 4] bench with roofline fields ($(date -u)) ==="
 cd /root/repo
 timeout 1500 python bench.py || echo "[bench] FAILED"
 echo "=== endround sweep done: $(date -u) ==="
