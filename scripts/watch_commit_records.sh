@@ -15,7 +15,12 @@ cd /root/repo || exit 1
 shopt -s nullglob
 while true; do
   sleep 180
-  records=(outputs/*/*.json outputs/*/*/*.json)
+  records=(
+    outputs/*/*.json
+    outputs/*/*/*.json
+    outputs/*/*/checkpoints/soup-*/soup.json
+    outputs/*/*/checkpoints/index.json
+  )
   if [ "${#records[@]}" -eq 0 ]; then
     continue
   fi
