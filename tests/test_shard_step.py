@@ -126,8 +126,15 @@ class TestShardTrainStep:
         )
         assert_trees_close(state_ref.params, state_sh.params)
 
+    @pytest.mark.slow
     def test_augment_and_ema_smoke(self, rng):
-        """Per-shard augmentation rng + EMA inside the sharded step."""
+        """Per-shard augmentation rng + EMA inside the sharded step.
+
+        Slow lane: the heaviest single compile of the suite (~84s on a
+        contended 1-CPU host). The step-parity guarantees stay in the
+        fast lane via the other TestShardTrainStep/TestShardEvalStep
+        cases; this adds the augment+EMA program variant only.
+        """
         _, sync_model = models_pair()
         batch = tiny_batch(rng)
         mesh = make_mesh()
