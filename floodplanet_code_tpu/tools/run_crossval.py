@@ -91,6 +91,15 @@ def run_fold(
         "n_epochs": n_epochs,
         "batch_size": batch_size,
     }
+    # Wall-clock decomposition written by fit_model (train/eval/ckpt per
+    # epoch) — the utilization evidence for PERF.md "where the minutes go".
+    timing_path = os.path.join(exp_dir, "timing.json")
+    if os.path.exists(timing_path):
+        with open(timing_path) as handle:
+            timing = json.load(handle)
+        record["timing"] = {
+            k: v for k, v in timing.items() if k != "epochs"
+        }
     if soup and best is not None:
         # Greedy checkpoint soup over the retained top-k (zero extra
         # training; tools/soup_checkpoints.py). Records the re-scored val

@@ -269,6 +269,13 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
     multihost.initialize_from_env_or_config(cfg)
     coordinator = multihost.is_coordinator()
 
+    # Wall-clock decomposition of the whole fit (written to
+    # <exp_dir>/timing.json): setup / compile / train / eval / checkpoint
+    # per epoch, so the epoch-level tiles/s can be reconciled against the
+    # step-level bench rate (PERF.md "where the minutes go").
+    fit_start = time.time()
+    timing_epochs: list[dict] = []
+
     exp_dir = overwrite_exp_dir or default_experiment_dir(cfg)
     if coordinator:
         os.makedirs(exp_dir, exist_ok=True)
@@ -665,6 +672,8 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
     global_step = start_epoch * max(1, len(train_loader))
 
     best_path = None
+    setup_wall = time.time() - fit_start
+    first_step_wall = None
     for epoch in range(start_epoch, cfg.n_epochs):
         # ---- train -------------------------------------------------------
         # Per-epoch derived rng (augmentation + step noise): with the
@@ -713,6 +722,12 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
                 state, logs = train_step(state, batch, step_rng)
             train_confusion = train_confusion + logs["confusion"]
             losses.append(logs["loss"])
+            if first_step_wall is None:
+                # First dispatched step of the fit: dominated by XLA
+                # compilation (block so the reading isn't hidden by async
+                # dispatch of later steps).
+                jax.block_until_ready(logs["loss"])
+                first_step_wall = time.time() - epoch_start
             n_train_batches += 1
             global_step += 1
             if global_step % 10 == 0:
@@ -746,6 +761,7 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
             except Exception as exc:
                 print(f"[profiler] stop_trace failed: {exc}")
 
+        jax.block_until_ready(train_confusion)
         train_time = time.time() - epoch_start
         if use_flat:
             # Rebuild the nested state once per epoch for eval + orbax.
@@ -756,6 +772,7 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
         )
 
         # ---- validation --------------------------------------------------
+        eval_start = time.time()
         val_confusion = jnp.zeros((n_classes, n_classes), jnp.float32)
         val_losses = []
         n_val_batches = 0
@@ -776,6 +793,8 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
             val_losses.append(logs["loss"])
             n_val_batches += 1
 
+        jax.block_until_ready(val_confusion)
+        eval_wall = time.time() - eval_start
         val_metrics = compute_metrics(val_confusion, "val_", ignore_index)
         val_metrics.update(
             compute_binary_class_metrics(val_confusion, 1, "val_")
@@ -824,10 +843,69 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
             )
         # Collective: orbax synchronizes all hosts inside save (the
         # coordinator alone writes the side files / retention deletes).
+        ckpt_start = time.time()
         manager.save(state, epoch, monitored)
         # Epoch-end barrier: keeps fast workers from racing ahead of (or
         # exiting before) the coordinator's non-collective side writes.
         multihost.sync(f"epoch_{epoch}")
+        ckpt_wall = time.time() - ckpt_start
+
+        epoch_wall = time.time() - epoch_start
+        timing_epochs.append(
+            {
+                "epoch": epoch,
+                "train_wall": round(train_time, 3),
+                "eval_wall": round(eval_wall, 3),
+                "ckpt_wall": round(ckpt_wall, 3),
+                "epoch_wall": round(epoch_wall, 3),
+                "n_train_batches": n_train_batches,
+                "tiles_per_sec": round(tiles_per_sec, 2),
+            }
+        )
 
     writer.close()
+    if coordinator and timing_epochs:
+        fit_wall = time.time() - fit_start
+        n_tiles = int(
+            sum(e["n_train_batches"] for e in timing_epochs) * batch_size
+        )
+        train_sum = sum(e["train_wall"] for e in timing_epochs)
+        eval_sum = sum(e["eval_wall"] for e in timing_epochs)
+        ckpt_sum = sum(e["ckpt_wall"] for e in timing_epochs)
+        # Steady-state train rate: exclude the compile-dominated first step
+        # and the (always first) epoch it lives in.
+        steady = timing_epochs[1:] or timing_epochs
+        steady_tiles = int(
+            sum(e["n_train_batches"] for e in steady) * batch_size
+        )
+        steady_wall = sum(e["train_wall"] for e in steady)
+        timing = {
+            "fit_wall": round(fit_wall, 2),
+            "setup_wall": round(setup_wall, 2),
+            "first_step_wall": round(first_step_wall or 0.0, 2),
+            "train_wall": round(train_sum, 2),
+            "eval_wall": round(eval_sum, 2),
+            "ckpt_wall": round(ckpt_sum, 2),
+            "other_wall": round(
+                fit_wall - setup_wall - train_sum - eval_sum - ckpt_sum, 2
+            ),
+            "n_epochs_run": len(timing_epochs),
+            "train_tiles": n_tiles,
+            "effective_tiles_per_sec": round(n_tiles / fit_wall, 2),
+            "steady_train_tiles_per_sec": round(
+                steady_tiles / steady_wall if steady_wall > 0 else 0.0, 2
+            ),
+            "epochs": timing_epochs,
+        }
+        import json as _json
+
+        with open(os.path.join(exp_dir, "timing.json"), "w") as handle:
+            _json.dump(timing, handle, indent=2)
+        print(
+            f"[timing] fit {fit_wall:.1f}s = setup {setup_wall:.1f} + "
+            f"train {train_sum:.1f} + eval {eval_sum:.1f} + "
+            f"ckpt {ckpt_sum:.1f} + other {timing['other_wall']:.1f} "
+            f"(effective {timing['effective_tiles_per_sec']:.1f} tiles/s, "
+            f"steady train {timing['steady_train_tiles_per_sec']:.1f})"
+        )
     return manager.best_model_path or ""
