@@ -71,7 +71,10 @@ class CropParams:
         object.__setattr__(self, "wE", self.w0 + self.width)
 
     def __str__(self) -> str:
-        return f"H0: {self.h0} | W0:{self.w0} \nHE: {self.hE} | WE: {self.wE}"
+        return (
+            f"CropParams[{self.h0}:{self.hE}, {self.w0}:{self.wE}] "
+            f"of {self.og_height}x{self.og_width}"
+        )
 
 
 def get_crop_slices(
@@ -103,15 +106,18 @@ def get_crop_slices(
         elif isinstance(step, int):
             h_step, w_step = step, step
         else:
-            raise TypeError(f"Invalid step type: {type(step)}")
-        if h_step <= 0:
-            raise ValueError(f"Step of size {h_step} is too small.")
-        if w_step <= 0:
-            raise ValueError(f"Step of size {w_step} is too small.")
-        if h_step > height:
-            raise ValueError(f"Step of size {h_step} is too large for height {height}")
-        if w_step > width:
-            raise ValueError(f"Step of size {w_step} is too large for width {width}")
+            raise TypeError(
+                f"step must be an int or (h, w) tuple, got {type(step)}"
+            )
+        if h_step <= 0 or w_step <= 0:
+            raise ValueError(
+                f"stride must be positive, got ({h_step}, {w_step})"
+            )
+        if h_step > height or w_step > width:
+            raise ValueError(
+                f"stride ({h_step}, {w_step}) exceeds the scene extent "
+                f"({height}, {width})"
+            )
     else:
         h_step, w_step = crop_height, crop_width
 
@@ -154,7 +160,9 @@ def get_crop_slices(
         if rem_h != 0 and rem_w != 0:
             crop_slices.append([num_h * h_step, num_w * w_step, rem_h, rem_w])
     else:
-        raise NotImplementedError(f"Invalid mode: {mode}")
+        raise NotImplementedError(
+            f'no crop-slice mode "{mode}" (choose exact | over | under)'
+        )
 
     return crop_slices
 

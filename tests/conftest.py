@@ -35,6 +35,17 @@ import numpy as np
 import pytest
 
 
+def pytest_collection_modifyitems(config, items):
+    # `-m smoke` is the sub-minute inner-loop tier: slow-marked tests never
+    # belong, even where a module-level smoke mark unions with a slow mark
+    # on one test in the file (e.g. test_tiff's 4.4 GB BigTIFF case).
+    if config.getoption("-m") == "smoke":
+        deselected = [i for i in items if "slow" in i.keywords]
+        if deselected:
+            items[:] = [i for i in items if "slow" not in i.keywords]
+            config.hook.pytest_deselected(items=deselected)
+
+
 @pytest.fixture()
 def rng(request):
     # Per-test deterministic Generator. The seed derives from the test's

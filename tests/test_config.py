@@ -9,6 +9,8 @@ from floodplanet_code_tpu.config import (
     save_config,
 )
 
+pytestmark = pytest.mark.smoke  # sub-minute tier: pure functions, no jit-heavy fits
+
 
 class TestConfigObject:
     def test_attribute_access(self):

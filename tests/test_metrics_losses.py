@@ -24,6 +24,8 @@ from floodplanet_code_tpu.ops.metrics import (
     torchmetrics_key_names,
 )
 
+pytestmark = pytest.mark.smoke  # sub-minute tier: pure functions, no jit-heavy fits
+
 
 def oracle_confusion(preds, target, n_classes, ignore_index=None):
     valid = np.ones(target.shape, bool)

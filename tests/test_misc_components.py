@@ -7,6 +7,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import pytest
+pytestmark = pytest.mark.smoke  # sub-minute tier: pure functions, no jit-heavy fits
+
 
 class TestExampleTransformer:
     def test_forward(self):

@@ -12,6 +12,8 @@ from floodplanet_code_tpu.data.normalize import (
     save_global_norm_params,
 )
 
+pytestmark = pytest.mark.smoke  # sub-minute tier: pure functions, no jit-heavy fits
+
 
 class TestNormalizeStats:
     def test_none_mode_identity(self):

@@ -15,6 +15,8 @@ from floodplanet_code_tpu.data.sensors import (
     to_rgb,
 )
 
+pytestmark = pytest.mark.smoke  # sub-minute tier: pure functions, no jit-heavy fits
+
 
 class TestRangeNormalization:
     def test_s1_maps_minus50_to_zero(self):

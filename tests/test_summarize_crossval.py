@@ -9,6 +9,9 @@ from floodplanet_code_tpu.tools.summarize_crossval import (
     main,
 )
 
+import pytest
+pytestmark = pytest.mark.smoke  # sub-minute tier: pure functions, no jit-heavy fits
+
 
 def _write_arm(root, name, folds, soup=None):
     """One run_crossval out_dir with a crossval_S1.json (+ optional soup)."""

@@ -9,6 +9,8 @@ from PIL import Image
 
 from floodplanet_code_tpu.geo import tiff
 
+pytestmark = pytest.mark.smoke  # sub-minute tier: pure functions, no jit-heavy fits
+
 REFERENCE_DATA = "/root/reference/CSDAP_complete"
 
 

@@ -11,6 +11,8 @@ from floodplanet_code_tpu.data.tiling import (
     get_crop_slices,
 )
 
+pytestmark = pytest.mark.smoke  # sub-minute tier: pure functions, no jit-heavy fits
+
 
 def coverage_mask(height, width, slices):
     mask = np.zeros((height, width), dtype=np.int32)

@@ -17,6 +17,9 @@ from hypothesis import given, settings, strategies as st
 
 from floodplanet_code_tpu.data.tiling import get_crop_slices
 
+import pytest
+pytestmark = pytest.mark.smoke  # sub-minute tier: pure functions, no jit-heavy fits
+
 
 @st.composite
 def scenes(draw):

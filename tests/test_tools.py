@@ -14,6 +14,8 @@ from floodplanet_code_tpu.tools.generate_dataset_visualizations import (
     generate_dataset_visualizations,
 )
 
+pytestmark = pytest.mark.smoke  # sub-minute tier: pure functions, no jit-heavy fits
+
 
 class TestNormParams:
     def test_compute_and_save(self, synthetic_csdap_root, tmp_path):
