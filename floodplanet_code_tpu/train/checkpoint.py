@@ -14,6 +14,9 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
+import time
+from concurrent.futures import Future, ThreadPoolExecutor
 from typing import Any
 
 import jax
@@ -21,6 +24,14 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 MONITOR_KEY = "val_MulticlassJaccardIndex"
+
+# Orbax's async save machinery keeps process-global state (signalling /
+# atomic-tmp bookkeeping) that corrupts when two checkpointer instances
+# save from different threads at once (observed: a save failing mkdir on
+# its own `.orbax-checkpoint-tmp`). One manager alone is ordered by its
+# single worker thread; this lock additionally serializes across manager
+# instances (e.g. a background fit write racing a tool's restore).
+_ORBAX_LOCK = threading.Lock()
 
 
 def lookup_metric(metrics: dict, name: str, default=None):
@@ -43,9 +54,37 @@ def lookup_metric(metrics: dict, name: str, default=None):
 
 
 class CheckpointManager:
-    """Top-k best + latest checkpoint retention under ``<exp>/checkpoints``."""
+    """Top-k best + latest checkpoint retention under ``<exp>/checkpoints``.
 
-    def __init__(self, exp_dir: str, save_top_k: int = 3, monitor: str = MONITOR_KEY):
+    ``async_save=True`` (single-host only) moves the device->host transfer,
+    the orbax write, the side files, and the retention deletes onto one
+    background worker thread, overlapping checkpoint IO with the next
+    epoch's training. The utilization audit (timing.json, PERF.md "where
+    the minutes go") measured the synchronous path at ~13 s/epoch vs ~19 s
+    of training at the production recipe — almost all of it device->host
+    transfer through the remote-device tunnel, which the train loop does
+    not need to wait for. Saves stay ordered (one worker); every consumer
+    of the index (``best_model_path`` / ``latest_model_path`` /
+    ``latest_epoch`` / ``restore``) drains pending writes first, so a
+    torn in-flight checkpoint can never be observed as best/latest.
+
+    Safety relies on the saved pytree never being donated afterwards: the
+    fit loop saves the *unflattened* epoch-end state, whose buffers are
+    fresh jit outputs that training (which advances the flat twin) never
+    touches again; the future keeps the pytree alive until written.
+
+    Multi-host forces the synchronous path: orbax's save is a cross-host
+    collective and must stay ordered with the epoch-end barrier on the
+    main thread (fit.py calls ``multihost.sync`` right after ``save``).
+    """
+
+    def __init__(
+        self,
+        exp_dir: str,
+        save_top_k: int = 3,
+        monitor: str = MONITOR_KEY,
+        async_save: bool = True,
+    ):
         self.ckpt_dir = os.path.join(os.path.abspath(exp_dir), "checkpoints")
         os.makedirs(self.ckpt_dir, exist_ok=True)
         self.save_top_k = save_top_k
@@ -53,6 +92,14 @@ class CheckpointManager:
         self._checkpointer = ocp.StandardCheckpointer()
         self._index_path = os.path.join(self.ckpt_dir, "index.json")
         self._index = self._load_index()
+        self._async = bool(async_save) and jax.process_count() == 1
+        self._executor = (
+            ThreadPoolExecutor(max_workers=1, thread_name_prefix="ckpt-writer")
+            if self._async
+            else None
+        )
+        self._pending: list[Future] = []
+        self.background_write_seconds = 0.0
 
     def _load_index(self) -> dict:
         if os.path.exists(self._index_path):
@@ -71,23 +118,57 @@ class CheckpointManager:
     def save(self, state: Any, epoch: int, metrics: dict) -> str:
         """Save a checkpoint; retain top-k by monitored metric + the latest.
 
+        Async mode returns as soon as the write is queued (the returned
+        path exists only once the background worker finishes it; drain
+        with :meth:`wait_until_finished` or any index property).
+
         Multi-host: MUST be called on every process — orbax's save is a
         collective (it synchronizes all hosts internally). Side files
         (metrics.json, index.json) and retention deletes are written by the
         coordinator only; the checkpoint directory is assumed shared.
         """
-        import jax as _jax
-
-        coordinator = _jax.process_index() == 0
         metric = float(lookup_metric(metrics, self.monitor, 0.0))
         name = self._entry_name(epoch, metric)
         path = os.path.join(self.ckpt_dir, name)
+        if self._executor is None:
+            self._write(path, state, epoch, metrics, metric, name)
+            return path
+        # At most one write in flight: epoch N's write had all of epoch
+        # N+1's training to finish, so this wait is normally instant; it
+        # bounds HBM pinned by queued pytrees and re-raises write errors
+        # at the save site instead of at the end of the fit.
+        self.wait_until_finished()
+        self._pending.append(
+            self._executor.submit(
+                self._write, path, state, epoch, metrics, metric, name
+            )
+        )
+        return path
+
+    def wait_until_finished(self) -> None:
+        """Block until every queued save has been written; re-raise errors."""
+        pending, self._pending = self._pending, []
+        for future in pending:
+            future.result()
+
+    def _write(
+        self,
+        path: str,
+        state: Any,
+        epoch: int,
+        metrics: dict,
+        metric: float,
+        name: str,
+    ) -> None:
+        start = time.time()
+        coordinator = jax.process_index() == 0
         if coordinator and os.path.exists(path):
             shutil.rmtree(path)
-        self._checkpointer.save(path, _to_saveable(state))
-        self._checkpointer.wait_until_finished()
+        with _ORBAX_LOCK:
+            self._checkpointer.save(path, _to_saveable(state))
+            self._checkpointer.wait_until_finished()
         if not coordinator:
-            return path
+            return
         with open(os.path.join(path, "metrics.json"), "w") as handle:
             json.dump(
                 {k: _scalar(v) for k, v in metrics.items()} | {"epoch": epoch},
@@ -111,10 +192,11 @@ class CheckpointManager:
         ]
         self._index["latest"] = latest["name"]
         self._write_index()
-        return path
+        self.background_write_seconds += time.time() - start
 
     @property
     def best_model_path(self) -> str | None:
+        self.wait_until_finished()
         if not self._index["entries"]:
             return None
         best = max(self._index["entries"], key=lambda e: e["metric"])
@@ -122,12 +204,14 @@ class CheckpointManager:
 
     @property
     def latest_model_path(self) -> str | None:
+        self.wait_until_finished()
         if self._index["latest"] is None:
             return None
         return os.path.join(self.ckpt_dir, self._index["latest"])
 
     @property
     def latest_epoch(self) -> int | None:
+        self.wait_until_finished()
         if self._index["latest"] is None:
             return None
         for entry in self._index["entries"]:
@@ -137,7 +221,9 @@ class CheckpointManager:
 
     def restore(self, path: str, target: Any) -> Any:
         """Restore into the structure of ``target`` (a template TrainState)."""
-        return self._checkpointer.restore(path, _to_saveable(target))
+        self.wait_until_finished()
+        with _ORBAX_LOCK:
+            return self._checkpointer.restore(path, _to_saveable(target))
 
 
 def _scalar(value):
@@ -158,4 +244,5 @@ def load_checkpoint(path: str, target: Any) -> Any:
     predict.py:174-177, infer.py:96-99).
     """
     checkpointer = ocp.StandardCheckpointer()
-    return checkpointer.restore(os.path.abspath(path), _to_saveable(target))
+    with _ORBAX_LOCK:
+        return checkpointer.restore(os.path.abspath(path), _to_saveable(target))

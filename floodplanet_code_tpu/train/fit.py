@@ -422,7 +422,15 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
     )
     state = replicate_state(state, mesh)
 
-    manager = CheckpointManager(exp_dir, save_top_k=cfg.save_topk_models)
+    # Async checkpoint IO (tpu.async_checkpoint, default on): the epoch-end
+    # device->host transfer + orbax write run on a background thread,
+    # overlapped with the next epoch's training. The manager itself forces
+    # the synchronous path under multi-host (collective save ordering).
+    manager = CheckpointManager(
+        exp_dir,
+        save_top_k=cfg.save_topk_models,
+        async_save=bool(cfg.select("tpu.async_checkpoint", True)),
+    )
     start_epoch = 0
     if cfg.select("tpu.resume", True) and manager.latest_model_path:
         state = manager.restore(manager.latest_model_path, state)
@@ -864,6 +872,12 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
         )
 
     writer.close()
+    # Drain any in-flight async checkpoint write so (a) the timing below
+    # charges the un-overlapped tail to checkpointing, not "other", and
+    # (b) callers reading best_model_path get a finished directory.
+    ckpt_drain_start = time.time()
+    manager.wait_until_finished()
+    ckpt_drain_wall = time.time() - ckpt_drain_start
     if coordinator and timing_epochs:
         fit_wall = time.time() - fit_start
         n_tiles = int(
@@ -886,8 +900,16 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
             "train_wall": round(train_sum, 2),
             "eval_wall": round(eval_sum, 2),
             "ckpt_wall": round(ckpt_sum, 2),
+            # Async mode: ckpt_wall is only the blocking epoch-end cost
+            # (queue submit + prior-write drain); ckpt_bg_wall is the
+            # real IO spent on the background thread (overlapped with
+            # training), and ckpt_drain_wall the un-overlapped tail paid
+            # once at fit end. Sync mode: bg ~= ckpt_wall, drain ~= 0.
+            "ckpt_bg_wall": round(manager.background_write_seconds, 2),
+            "ckpt_drain_wall": round(ckpt_drain_wall, 2),
             "other_wall": round(
-                fit_wall - setup_wall - train_sum - eval_sum - ckpt_sum, 2
+                fit_wall - setup_wall - train_sum - eval_sum - ckpt_sum
+                - ckpt_drain_wall, 2
             ),
             "n_epochs_run": len(timing_epochs),
             "train_tiles": n_tiles,
@@ -904,7 +926,9 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
         print(
             f"[timing] fit {fit_wall:.1f}s = setup {setup_wall:.1f} + "
             f"train {train_sum:.1f} + eval {eval_sum:.1f} + "
-            f"ckpt {ckpt_sum:.1f} + other {timing['other_wall']:.1f} "
+            f"ckpt {ckpt_sum:.1f} (+{timing['ckpt_drain_wall']:.1f} drain, "
+            f"{timing['ckpt_bg_wall']:.1f} overlapped) + "
+            f"other {timing['other_wall']:.1f} "
             f"(effective {timing['effective_tiles_per_sec']:.1f} tiles/s, "
             f"steady train {timing['steady_train_tiles_per_sec']:.1f})"
         )
