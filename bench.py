@@ -166,6 +166,16 @@ def main() -> dict:
         variables["batch_stats"] = nested.batch_stats
     predict_step = make_predict_step(model)
     infer_probe = jax.jit(lambda v, b: predict_step(v, b).sum())
+    infer_roofline = {}
+    try:
+        compiled = infer_probe.lower(variables, batch).compile()
+        analysis = compiled.cost_analysis()
+        if isinstance(analysis, (list, tuple)):
+            analysis = analysis[0]
+        infer_roofline["flops_per_step"] = float(analysis["flops"])
+        infer_roofline["bytes_per_step"] = float(analysis["bytes accessed"])
+    except Exception as exc:  # cost analysis is best-effort
+        infer_roofline["error"] = str(exc)
     acc = infer_probe(variables, batch)
     float(acc)  # compile + sync
     start = time.perf_counter()
@@ -204,6 +214,17 @@ def main() -> dict:
             )
     elif "error" in roofline:
         result["roofline_error"] = roofline["error"][:200]
+    # Inference-side roofline (VERDICT-r4 #8): MFU/HBM for the sliding
+    # predict forward next to the train-step figures, same methodology.
+    if "flops_per_step" in infer_roofline and n_chips == 1 and platform == "tpu":
+        infer_step_s = batch_size / (infer_tps * n_chips)
+        peak_flops, peak_bw = 197e12, 819e9
+        result["inference_mfu"] = round(
+            infer_roofline["flops_per_step"] / (infer_step_s * peak_flops), 4
+        )
+        result["inference_hbm_util"] = round(
+            infer_roofline["bytes_per_step"] / (infer_step_s * peak_bw), 4
+        )
     print(json.dumps(result))
     return result
 
