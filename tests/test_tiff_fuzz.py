@@ -353,6 +353,48 @@ def test_unsupported_compression_falls_back(tmp_path, rng):
     np.testing.assert_array_equal(win, got[8:24, 4:24])
 
 
+def test_rgb_jpeg_fallback_pixel_identical_to_pil(tmp_path, rng):
+    # RGB JPEG-in-TIFF (compression 7, photometric 2): the native reader
+    # can't decode it; the fallback must return EXACTLY what PIL decodes
+    # (not merely something plausible), in the reader's [C,H,W] layout.
+    from PIL import Image
+
+    rgb = rng.integers(0, 256, (48, 64, 3)).astype(np.uint8)
+    path = str(tmp_path / "rgb_jpeg.tif")
+    Image.fromarray(rgb).save(path, compression="jpeg", quality=95)
+    with Image.open(path) as img:
+        assert img.tag_v2.get(262) == 2  # photometric RGB
+        pil = np.transpose(np.asarray(img), (2, 0, 1))
+    got = tiff.imread(path)
+    np.testing.assert_array_equal(got, pil)
+    # Windowed reads route through the same demoted backend and must
+    # slice identically.
+    win = tiff.read_window(path, 8, 4, 16, 20)
+    np.testing.assert_array_equal(win, pil[:, 8:24, 4:24])
+
+
+def test_ycbcr_jpeg_fallback_pixel_identical_to_pil(tmp_path, rng):
+    # YCbCr JPEG-in-TIFF (photometric 6) — the second encoding the native
+    # reader does not parse (VERDICT-r4 #7; reference tolerance bar:
+    # dual backends, floodplanet.py:309-318). PIL converts to RGB on
+    # decode; the fallback must match that decode bit for bit.
+    from PIL import Image
+
+    rgb = rng.integers(0, 256, (40, 56, 3)).astype(np.uint8)
+    path = str(tmp_path / "ycbcr.tif")
+    Image.fromarray(rgb).convert("YCbCr").save(
+        path, compression="jpeg", quality=95
+    )
+    with Image.open(path) as img:
+        assert img.tag_v2.get(262) == 6  # photometric YCbCr
+        pil = np.asarray(img)
+    pil = np.transpose(pil, (2, 0, 1)) if pil.ndim == 3 else pil
+    got = tiff.imread(path)
+    np.testing.assert_array_equal(got, pil)
+    win = tiff.read_window(path, 0, 10, 20, 30)
+    np.testing.assert_array_equal(win, pil[..., 0:20, 10:40])
+
+
 def test_truncated_ifd_falls_back_or_raises_cleanly(tmp_path, rng):
     # Truncate a healthy file inside the pixel data: the native reader
     # fails the strip read; PIL may or may not salvage it, but the call
