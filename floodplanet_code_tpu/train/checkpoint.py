@@ -140,7 +140,8 @@ class CheckpointManager:
         self.wait_until_finished()
         self._pending.append(
             self._executor.submit(
-                self._write, path, state, epoch, metrics, metric, name
+                self._write, path, _snapshot_device_leaves(state), epoch,
+                metrics, metric, name
             )
         )
         return path
@@ -224,6 +225,40 @@ class CheckpointManager:
         self.wait_until_finished()
         with _ORBAX_LOCK:
             return self._checkpointer.restore(path, _to_saveable(target))
+
+
+def _jit_tree_copy(xs):
+    import jax.numpy as jnp
+
+    return tuple(jnp.copy(x) for x in xs)
+
+
+_jit_tree_copy = jax.jit(_jit_tree_copy)
+
+
+def _snapshot_device_leaves(state):
+    """Identity-copy every ``jax.Array`` leaf into fresh device buffers.
+
+    An async save must decouple the queued pytree from training: the fit
+    loop's unflattened epoch-end state passes SOME leaves through from
+    the flat training state by reference (e.g. the int32 step counter),
+    and the next train step *donates* that flat state — deleting those
+    buffers under a background write that hasn't transferred them yet
+    (observed on hardware: "Array has been deleted with shape=int32[]").
+    One jitted copy program (single dispatch, on-device HBM copy, ~ms)
+    produces unaliased buffers the snapshot alone owns; non-Array leaves
+    (host numpy, python scalars) are immune to donation and pass through.
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    array_idx = [
+        i for i, leaf in enumerate(leaves) if isinstance(leaf, jax.Array)
+    ]
+    if array_idx:
+        copied = _jit_tree_copy(tuple(leaves[i] for i in array_idx))
+        leaves = list(leaves)
+        for i, fresh in zip(array_idx, copied):
+            leaves[i] = fresh
+    return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
 def _scalar(value):

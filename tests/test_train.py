@@ -3,6 +3,7 @@ resume, and an end-to-end smoke fit on the synthetic CSDAP tree."""
 
 import json
 import os
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -266,6 +267,53 @@ class TestCheckpointManager:
         np.testing.assert_array_equal(
             best["params"]["w"], np.full((4,), 3, np.float32)
         )
+
+    def test_async_save_survives_donation_of_original_state(self, tmp_path):
+        """Regression (observed on hardware): the fit loop donates the
+        training state to the next step right after queueing an async
+        save; leaves passed through by reference get DELETED under the
+        background write ("Array has been deleted"). The save-time device
+        snapshot must keep the checkpoint readable regardless."""
+        import time as _time
+
+        import jax
+        import jax.numpy as jnp
+
+        from floodplanet_code_tpu.train import checkpoint as ckpt_mod
+
+        state = {
+            "w": jnp.arange(16, dtype=jnp.float32),
+            "step": jnp.asarray(7, jnp.int32),
+        }
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def donated_step(s):
+            return {"w": s["w"] + 1.0, "step": s["step"] + 1}
+
+        mgr = CheckpointManager(str(tmp_path), save_top_k=1, async_save=True)
+        if mgr._executor is None:
+            pytest.skip("async path unavailable (multi-process run)")
+        # Stall the background writer so the donation definitely happens
+        # while the write is still pending (the hardware interleaving).
+        original_write = mgr._write
+
+        def slow_write(*args, **kwargs):
+            _time.sleep(0.3)
+            return original_write(*args, **kwargs)
+
+        mgr._write = slow_write
+        mgr.save(state, 0, {"val_MulticlassJaccardIndex": 0.5})
+        state = donated_step(state)  # deletes the original buffers
+        jax.block_until_ready(state["w"])
+        mgr.wait_until_finished()  # must not raise "Array has been deleted"
+        restored = mgr.restore(
+            mgr.best_model_path,
+            {"w": np.zeros(16, np.float32), "step": np.zeros((), np.int32)},
+        )
+        np.testing.assert_array_equal(
+            restored["w"], np.arange(16, dtype=np.float32)
+        )
+        assert int(restored["step"]) == 7
 
     def test_async_write_error_surfaces_at_next_save(self, tmp_path):
         """A failed background write must raise on the main thread (at the
