@@ -84,11 +84,13 @@ class CheckpointManager:
         save_top_k: int = 3,
         monitor: str = MONITOR_KEY,
         async_save: bool = True,
+        resume_every: int = 1,
     ):
         self.ckpt_dir = os.path.join(os.path.abspath(exp_dir), "checkpoints")
         os.makedirs(self.ckpt_dir, exist_ok=True)
         self.save_top_k = save_top_k
         self.monitor = monitor
+        self.resume_every = max(1, int(resume_every))
         self._checkpointer = ocp.StandardCheckpointer()
         self._index_path = os.path.join(self.ckpt_dir, "index.json")
         self._index = self._load_index()
@@ -115,8 +117,34 @@ class CheckpointManager:
         # Filename pattern mirrors the reference's ModelCheckpoint template.
         return f"model-epoch={epoch:02d}-{self.monitor}={metric:.4f}"
 
-    def save(self, state: Any, epoch: int, metrics: dict) -> str:
+    def _worth_saving(self, epoch: int, metric: float) -> bool:
+        """Skip epochs whose checkpoint no consumer can ever want.
+
+        A full-TrainState write through the remote-device tunnel costs
+        ~10-20 s — several steady training epochs at the production
+        recipe. Lightning's ModelCheckpoint (the reference contract,
+        fit.py:80-85) only writes when a metric enters the top-k; the
+        every-epoch "latest" here is a beyond-reference resume-
+        granularity extra that does not need every-epoch cadence:
+        resume is deterministic (ARCHITECTURE.md), so restarting from an
+        up-to-``resume_every``-epochs-old checkpoint retrains the gap
+        bit-identically at ~4-5 s/epoch.
+        """
+        entries = self._index["entries"]
+        if len(entries) < self.save_top_k:
+            return True
+        if metric > min(e["metric"] for e in entries):
+            return True  # enters the current top-k
+        return epoch % self.resume_every == 0  # periodic resume point
+
+    def save(
+        self, state: Any, epoch: int, metrics: dict, force: bool = False
+    ) -> str | None:
         """Save a checkpoint; retain top-k by monitored metric + the latest.
+
+        Returns None when the epoch is skipped (see ``_worth_saving``;
+        ``force=True`` — the fit's final epoch — always writes, so a
+        completed run always has a latest for the no-op re-invoke path).
 
         Async mode returns as soon as the write is queued (the returned
         path exists only once the background worker finishes it; drain
@@ -131,13 +159,19 @@ class CheckpointManager:
         name = self._entry_name(epoch, metric)
         path = os.path.join(self.ckpt_dir, name)
         if self._executor is None:
+            if not force and not self._worth_saving(epoch, metric):
+                return None
             self._write(path, state, epoch, metrics, metric, name)
             return path
         # At most one write in flight: epoch N's write had all of epoch
         # N+1's training to finish, so this wait is normally instant; it
         # bounds HBM pinned by queued pytrees and re-raises write errors
-        # at the save site instead of at the end of the fit.
+        # at the save site instead of at the end of the fit. Draining
+        # BEFORE the skip decision also makes _worth_saving read a
+        # settled index.
         self.wait_until_finished()
+        if not force and not self._worth_saving(epoch, metric):
+            return None
         self._pending.append(
             self._executor.submit(
                 self._write, path, _snapshot_device_leaves(state), epoch,

@@ -430,6 +430,7 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
         exp_dir,
         save_top_k=cfg.save_topk_models,
         async_save=bool(cfg.select("tpu.async_checkpoint", True)),
+        resume_every=int(cfg.select("tpu.resume_every", 5) or 1),
     )
     start_epoch = 0
     if cfg.select("tpu.resume", True) and manager.latest_model_path:
@@ -852,7 +853,9 @@ def fit_model(cfg: Config, overwrite_exp_dir: str | None = None) -> str:
         # Collective: orbax synchronizes all hosts inside save (the
         # coordinator alone writes the side files / retention deletes).
         ckpt_start = time.time()
-        manager.save(state, epoch, monitored)
+        # force on the final epoch: a completed run must leave a latest
+        # checkpoint so a re-invoked fit is a free no-op.
+        manager.save(state, epoch, monitored, force=(epoch == cfg.n_epochs - 1))
         # Epoch-end barrier: keeps fast workers from racing ahead of (or
         # exiting before) the coordinator's non-collective side writes.
         multihost.sync(f"epoch_{epoch}")

@@ -268,6 +268,45 @@ class TestCheckpointManager:
             best["params"]["w"], np.full((4,), 3, np.float32)
         )
 
+    def test_skips_epochs_no_consumer_wants(self, tmp_path):
+        """Lightning ModelCheckpoint semantics: only top-k-entering epochs
+        write, plus periodic resume points and the forced final epoch."""
+        mgr = CheckpointManager(
+            str(tmp_path), save_top_k=2, resume_every=4
+        )
+        ious = [0.5, 0.6, 0.3, 0.2, 0.1, 0.7, 0.2, 0.15]
+        written = []
+        for epoch, iou in enumerate(ious):
+            path = mgr.save(
+                self._dummy_state(epoch),
+                epoch,
+                {"val_MulticlassJaccardIndex": iou},
+                force=(epoch == len(ious) - 1),
+            )
+            if path is not None:
+                written.append(epoch)
+        mgr.wait_until_finished()
+        # 0,1 fill top-k; 2,3 miss (0.3/0.2 < min(0.5,0.6)) but 0 and 4
+        # are resume points (epoch % 4 == 0); 5 enters top-k; 6 misses;
+        # 7 is forced as the final epoch.
+        assert written == [0, 1, 4, 5, 7]
+        # Retention + latest behave as before on the saved subset.
+        assert mgr.latest_epoch == 7
+        assert mgr.best_model_path.endswith("0.7000")
+
+    def test_resume_every_one_saves_always(self, tmp_path):
+        mgr = CheckpointManager(str(tmp_path), save_top_k=1, resume_every=1)
+        for epoch, iou in enumerate([0.9, 0.5, 0.4]):
+            assert (
+                mgr.save(
+                    self._dummy_state(epoch),
+                    epoch,
+                    {"val_MulticlassJaccardIndex": iou},
+                )
+                is not None
+            )
+        assert mgr.latest_epoch == 2
+
     def test_async_save_survives_donation_of_original_state(self, tmp_path):
         """Regression (observed on hardware): the fit loop donates the
         training state to the next step right after queueing an async
