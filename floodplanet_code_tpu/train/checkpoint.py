@@ -130,10 +130,16 @@ class CheckpointManager:
         up-to-``resume_every``-epochs-old checkpoint retrains the gap
         bit-identically at ~4-5 s/epoch.
         """
-        entries = self._index["entries"]
-        if len(entries) < self.save_top_k:
+        # NOTE: entries also retains the latest (resume) checkpoint, whose
+        # metric is usually low — the top-k floor must be computed over
+        # the k best metrics only, or nearly every epoch "enters top-k"
+        # (measured on hardware: 33/33 writes with the naive min()).
+        top = sorted(
+            (e["metric"] for e in self._index["entries"]), reverse=True
+        )[: self.save_top_k]
+        if len(top) < self.save_top_k:
             return True
-        if metric > min(e["metric"] for e in entries):
+        if metric > top[-1]:
             return True  # enters the current top-k
         return epoch % self.resume_every == 0  # periodic resume point
 

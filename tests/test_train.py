@@ -294,6 +294,34 @@ class TestCheckpointManager:
         assert mgr.latest_epoch == 7
         assert mgr.best_model_path.endswith("0.7000")
 
+    def test_topk_floor_ignores_retained_latest(self, tmp_path):
+        """Regression (measured on hardware: 33/33 writes): the retained
+        latest/resume entry has a low metric; the top-k floor must not
+        include it, else mediocre epochs 'enter top-k' forever."""
+        mgr = CheckpointManager(str(tmp_path), save_top_k=2, resume_every=4)
+        for epoch, iou in enumerate([0.5, 0.6, 0.3, 0.2, 0.1]):
+            mgr.save(
+                self._dummy_state(epoch),
+                epoch,
+                {"val_MulticlassJaccardIndex": iou},
+            )
+        mgr.wait_until_finished()
+        # entries now retain top-2 (0.6, 0.5) plus the epoch-4 resume
+        # point (0.1). 0.45 beats 0.1 but NOT the top-k floor (0.5).
+        assert (
+            mgr.save(
+                self._dummy_state(5), 5, {"val_MulticlassJaccardIndex": 0.45}
+            )
+            is None
+        )
+        # A genuine improvement still writes.
+        assert (
+            mgr.save(
+                self._dummy_state(6), 6, {"val_MulticlassJaccardIndex": 0.55}
+            )
+            is not None
+        )
+
     def test_resume_every_one_saves_always(self, tmp_path):
         mgr = CheckpointManager(str(tmp_path), save_top_k=1, resume_every=1)
         for epoch, iou in enumerate([0.9, 0.5, 0.4]):
