@@ -25,6 +25,14 @@ import orbax.checkpoint as ocp
 
 MONITOR_KEY = "val_MulticlassJaccardIndex"
 
+# Marker file distinguishing a slim (eval-only) checkpoint from a full
+# TrainState one. Slim checkpoints hold only the leaves evaluation
+# consumers read (params / batch_stats / ema_params / step) — ~4x fewer
+# bytes than a full state with Adam moments, which matters because the
+# device->host transfer dominates the write cost (PERF.md "where the
+# minutes go"). Resume points and the final epoch always save full.
+SLIM_MARKER = "slim_checkpoint.json"
+
 # Orbax's async save machinery keeps process-global state (signalling /
 # atomic-tmp bookkeeping) that corrupts when two checkpointer instances
 # save from different threads at once (observed: a save failing mkdir on
@@ -117,8 +125,26 @@ class CheckpointManager:
         # Filename pattern mirrors the reference's ModelCheckpoint template.
         return f"model-epoch={epoch:02d}-{self.monitor}={metric:.4f}"
 
-    def _worth_saving(self, epoch: int, metric: float) -> bool:
-        """Skip epochs whose checkpoint no consumer can ever want.
+    def _settled_index(self) -> dict:
+        """The index every process agrees on at decision time.
+
+        Multi-process runs MUST make identical save/skip decisions (the
+        orbax save is a collective — a process that skips while another
+        saves deadlocks the pod), but only the coordinator maintains
+        ``self._index``. The checkpoint directory is shared (class
+        docstring) and fit.py barriers (``multihost.sync``) right after
+        every save, so re-reading index.json here gives each process the
+        coordinator's settled view. Single-process reads the in-memory
+        index (the async path drains pending writes before deciding).
+        """
+        if jax.process_count() > 1:
+            return self._load_index()
+        return self._index
+
+    def _save_kind(
+        self, epoch: int, metric: float, force: bool
+    ) -> str | None:
+        """``"full"``, ``"slim"``, or ``None`` (skip) for this epoch.
 
         A full-TrainState write through the remote-device tunnel costs
         ~10-20 s — several steady training epochs at the production
@@ -128,27 +154,33 @@ class CheckpointManager:
         granularity extra that does not need every-epoch cadence:
         resume is deterministic (ARCHITECTURE.md), so restarting from an
         up-to-``resume_every``-epochs-old checkpoint retrains the gap
-        bit-identically at ~4-5 s/epoch.
+        bit-identically at ~4-5 s/epoch. Top-k entries that are NOT
+        resume points save *slim* (eval leaves only, ~4x fewer bytes —
+        evaluation consumers never read Adam moments); resume points and
+        the forced final epoch save the full state.
         """
+        is_resume_point = force or epoch % self.resume_every == 0
         # NOTE: entries also retains the latest (resume) checkpoint, whose
         # metric is usually low — the top-k floor must be computed over
         # the k best metrics only, or nearly every epoch "enters top-k"
         # (measured on hardware: 33/33 writes with the naive min()).
         top = sorted(
-            (e["metric"] for e in self._index["entries"]), reverse=True
+            (e["metric"] for e in self._settled_index()["entries"]),
+            reverse=True,
         )[: self.save_top_k]
-        if len(top) < self.save_top_k:
-            return True
-        if metric > top[-1]:
-            return True  # enters the current top-k
-        return epoch % self.resume_every == 0  # periodic resume point
+        enters_topk = len(top) < self.save_top_k or metric > top[-1]
+        if is_resume_point:
+            return "full"
+        if enters_topk:
+            return "slim"
+        return None
 
     def save(
         self, state: Any, epoch: int, metrics: dict, force: bool = False
     ) -> str | None:
         """Save a checkpoint; retain top-k by monitored metric + the latest.
 
-        Returns None when the epoch is skipped (see ``_worth_saving``;
+        Returns None when the epoch is skipped (see ``_save_kind``;
         ``force=True`` — the fit's final epoch — always writes, so a
         completed run always has a latest for the no-op re-invoke path).
 
@@ -164,24 +196,34 @@ class CheckpointManager:
         metric = float(lookup_metric(metrics, self.monitor, 0.0))
         name = self._entry_name(epoch, metric)
         path = os.path.join(self.ckpt_dir, name)
+        # Slim layout presumes a TrainState-shaped pytree; arbitrary
+        # pytrees (tests, tools) always save full.
+        slim_able = hasattr(state, "params") and hasattr(state, "replace")
         if self._executor is None:
-            if not force and not self._worth_saving(epoch, metric):
+            kind = self._save_kind(epoch, metric, force)
+            if kind == "slim" and not slim_able:
+                kind = "full"
+            if kind is None:
                 return None
-            self._write(path, state, epoch, metrics, metric, name)
+            self._write(path, state, epoch, metrics, metric, name, kind)
             return path
         # At most one write in flight: epoch N's write had all of epoch
         # N+1's training to finish, so this wait is normally instant; it
         # bounds HBM pinned by queued pytrees and re-raises write errors
         # at the save site instead of at the end of the fit. Draining
-        # BEFORE the skip decision also makes _worth_saving read a
+        # BEFORE the skip decision also makes _save_kind read a
         # settled index.
         self.wait_until_finished()
-        if not force and not self._worth_saving(epoch, metric):
+        kind = self._save_kind(epoch, metric, force)
+        if kind == "slim" and not slim_able:
+            kind = "full"
+        if kind is None:
             return None
+        payload = state if kind == "full" else _slim_of(state)
         self._pending.append(
             self._executor.submit(
-                self._write, path, _snapshot_device_leaves(state), epoch,
-                metrics, metric, name
+                self._write, path, _snapshot_device_leaves(payload), epoch,
+                metrics, metric, name, kind
             )
         )
         return path
@@ -200,16 +242,23 @@ class CheckpointManager:
         metrics: dict,
         metric: float,
         name: str,
+        kind: str = "full",
     ) -> None:
         start = time.time()
         coordinator = jax.process_index() == 0
         if coordinator and os.path.exists(path):
             shutil.rmtree(path)
+        payload = state
+        if kind == "slim" and not isinstance(state, dict):
+            payload = _slim_of(state)  # sync path slims at write time
         with _ORBAX_LOCK:
-            self._checkpointer.save(path, _to_saveable(state))
+            self._checkpointer.save(path, _to_saveable(payload))
             self._checkpointer.wait_until_finished()
         if not coordinator:
             return
+        if kind == "slim":
+            with open(os.path.join(path, SLIM_MARKER), "w") as handle:
+                json.dump({"layout": sorted(payload)}, handle)
         with open(os.path.join(path, "metrics.json"), "w") as handle:
             json.dump(
                 {k: _scalar(v) for k, v in metrics.items()} | {"epoch": epoch},
@@ -218,11 +267,19 @@ class CheckpointManager:
             )
 
         entries = [e for e in self._index["entries"] if e["name"] != name]
-        entries.append({"name": name, "metric": metric, "epoch": epoch})
+        entries.append(
+            {"name": name, "metric": metric, "epoch": epoch, "kind": kind}
+        )
         entries.sort(key=lambda e: e["metric"], reverse=True)
         keep = entries[: self.save_top_k]
-        latest = max(entries, key=lambda e: e["epoch"])
-        keep_names = {e["name"] for e in keep} | {latest["name"]}
+        # Resume must restore a FULL state (slim checkpoints carry no
+        # optimizer moments), so `latest` tracks the newest full entry;
+        # entries missing "kind" predate slim checkpoints and are full.
+        full = [e for e in entries if e.get("kind", "full") == "full"]
+        latest = max(full, key=lambda e: e["epoch"]) if full else None
+        keep_names = {e["name"] for e in keep}
+        if latest is not None:
+            keep_names.add(latest["name"])
         for entry in entries[self.save_top_k :]:
             if entry["name"] not in keep_names:
                 stale = os.path.join(self.ckpt_dir, entry["name"])
@@ -231,7 +288,7 @@ class CheckpointManager:
         self._index["entries"] = [
             e for e in entries if e["name"] in keep_names
         ]
-        self._index["latest"] = latest["name"]
+        self._index["latest"] = latest["name"] if latest else None
         self._write_index()
         self.background_write_seconds += time.time() - start
 
@@ -261,8 +318,17 @@ class CheckpointManager:
         return None
 
     def restore(self, path: str, target: Any) -> Any:
-        """Restore into the structure of ``target`` (a template TrainState)."""
+        """Restore into the structure of ``target`` (a template TrainState).
+
+        Slim checkpoints (see :data:`SLIM_MARKER`) restore their eval
+        leaves and graft them onto ``target``; the optimizer state keeps
+        the template's (fresh-init) values — evaluation consumers never
+        read it, and resume never targets a slim checkpoint
+        (``latest_model_path`` only tracks full entries).
+        """
         self.wait_until_finished()
+        if _is_slim(path):
+            return _restore_slim(self._checkpointer, path, target)
         with _ORBAX_LOCK:
             return self._checkpointer.restore(path, _to_saveable(target))
 
@@ -301,6 +367,53 @@ def _snapshot_device_leaves(state):
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
+def _slim_of(state):
+    """Eval-relevant leaves of a TrainState as a plain dict pytree.
+
+    Keys absent from the state (no BN stats, no EMA) are omitted rather
+    than stored as None so the saved layout documents itself (the
+    restore side rebuilds the same dict from its template).
+    """
+    out = {"step": state.step, "params": state.params}
+    if state.batch_stats is not None:
+        out["batch_stats"] = state.batch_stats
+    if state.ema_params is not None:
+        out["ema_params"] = state.ema_params
+    return out
+
+
+def _is_slim(path: str) -> bool:
+    return os.path.exists(os.path.join(path, SLIM_MARKER))
+
+
+def _restore_slim(checkpointer, path: str, target: Any) -> Any:
+    """Restore a slim checkpoint and graft it onto a full template."""
+    with open(os.path.join(path, SLIM_MARKER), "r") as handle:
+        layout = set(json.load(handle).get("layout", []))
+    template = {
+        k: v for k, v in _slim_of(target).items() if k in layout
+    }
+    missing = layout - set(template)
+    if missing:
+        raise ValueError(
+            f"slim checkpoint {path} stores leaves {sorted(missing)} the "
+            "restore template lacks — rebuild the template with the "
+            "experiment's training config (e.g. ema_decay for ema_params)"
+        )
+    with _ORBAX_LOCK:
+        restored = checkpointer.restore(
+            os.path.abspath(path), _to_saveable(template)
+        )
+    # The checkpoint's layout is the truth about what the run trained
+    # with: a template carrying optional leaves (ema_params/batch_stats)
+    # the checkpoint lacks must not keep its fresh-init values — predict
+    # would silently evaluate an untrained EMA.
+    for optional in ("ema_params", "batch_stats"):
+        if optional not in layout:
+            restored[optional] = None
+    return target.replace(**restored)
+
+
 def _scalar(value):
     if isinstance(value, (int, float, str)):
         return value
@@ -316,8 +429,13 @@ def load_checkpoint(path: str, target: Any) -> Any:
     """Restore a checkpoint directory into ``target``'s structure.
 
     Used by predict/infer (the analog of load_from_checkpoint,
-    predict.py:174-177, infer.py:96-99).
+    predict.py:174-177, infer.py:96-99). Handles both full-TrainState
+    and slim (eval-only) checkpoints; slim restores graft params /
+    batch_stats / ema_params / step onto the template and leave its
+    optimizer state at init, which no evaluation consumer reads.
     """
     checkpointer = ocp.StandardCheckpointer()
+    if _is_slim(path):
+        return _restore_slim(checkpointer, path, target)
     with _ORBAX_LOCK:
         return checkpointer.restore(os.path.abspath(path), _to_saveable(target))

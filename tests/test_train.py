@@ -402,6 +402,91 @@ class TestCheckpointManager:
         assert mgr.best_model_path is not None
         assert mgr.latest_epoch == 1
 
+    def _real_state(self, rng, ema=False):
+        model = build_model("ms_model", {"ms_image": 2}, 3)
+        batch = tiny_batch(rng, b=2, hw=16)
+        return model, batch, create_train_state(
+            model, batch, lr=1e-3, ema=ema
+        )
+
+    def test_slim_checkpoint_roundtrip(self, rng, tmp_path):
+        """Top-k entries that are not resume points save eval leaves only
+        (~4x fewer bytes); load_checkpoint grafts them onto a template."""
+        from floodplanet_code_tpu.train.checkpoint import (
+            SLIM_MARKER,
+            load_checkpoint,
+        )
+
+        model, batch, state = self._real_state(rng, ema=True)
+        mgr = CheckpointManager(str(tmp_path), save_top_k=2, resume_every=10)
+        # epoch 0: resume point -> full; epoch 1: top-k only -> slim.
+        p0 = mgr.save(state, 0, {"val_MulticlassJaccardIndex": 0.3})
+        state1 = state.replace(
+            params=jax.tree.map(lambda x: x + 1.0, state.params)
+        )
+        p1 = mgr.save(state1, 1, {"val_MulticlassJaccardIndex": 0.6})
+        mgr.wait_until_finished()
+        assert not os.path.exists(os.path.join(p0, SLIM_MARKER))
+        assert os.path.exists(os.path.join(p1, SLIM_MARKER))
+        # The slim dir must carry no optimizer-state leaves (the Adam
+        # moments are 2/4 of a full TrainState's bytes; the on-disk size
+        # of an UNTRAINED state is not probative — all-zero moments
+        # compress away — so assert on the stored tree metadata).
+        meta = lambda d: open(os.path.join(d, "_METADATA")).read()
+        assert "opt_state" in meta(p0)
+        assert "opt_state" not in meta(p1)
+        assert "params" in meta(p1)
+        _, _, template = self._real_state(rng, ema=True)
+        restored = load_checkpoint(p1, template)
+        chex = jax.tree.map(
+            np.testing.assert_allclose, restored.params, state1.params
+        )
+        del chex
+        assert restored.ema_params is not None
+        # manager.restore takes the same path.
+        again = mgr.restore(p1, template)
+        np.testing.assert_allclose(
+            jax.tree.leaves(again.params)[0],
+            jax.tree.leaves(state1.params)[0],
+        )
+
+    def test_latest_tracks_newest_full_entry(self, rng, tmp_path):
+        """Resume must never target a slim checkpoint: latest stays at the
+        newest FULL entry even when a newer slim (top-k) entry exists."""
+        _, _, state = self._real_state(rng)
+        mgr = CheckpointManager(str(tmp_path), save_top_k=2, resume_every=10)
+        mgr.save(state, 0, {"val_MulticlassJaccardIndex": 0.3})  # full
+        mgr.save(state, 1, {"val_MulticlassJaccardIndex": 0.6})  # slim
+        mgr.wait_until_finished()
+        assert mgr.latest_epoch == 0
+        assert "epoch=01" in mgr.best_model_path
+        # The forced final epoch is always full and becomes latest.
+        mgr.save(state, 2, {"val_MulticlassJaccardIndex": 0.1}, force=True)
+        assert mgr.latest_epoch == 2
+
+    def test_multiprocess_skip_decision_reads_shared_index(
+        self, tmp_path, monkeypatch
+    ):
+        """Multi-host: all processes must make identical save/skip
+        decisions (the orbax save is a collective). A non-coordinator's
+        in-memory index never updates, so the decision must come from the
+        shared on-disk index."""
+        mgr = CheckpointManager(
+            str(tmp_path), save_top_k=1, resume_every=100, async_save=False
+        )
+        for epoch, iou in enumerate([0.5, 0.6]):
+            mgr.save(
+                self._dummy_state(epoch),
+                epoch,
+                {"val_MulticlassJaccardIndex": iou},
+            )
+        # Simulate a non-coordinator: stale (empty) in-memory index, >1
+        # processes. The shared index says 0.4 misses the top-1 floor.
+        mgr._index = {"entries": [], "latest": None}
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        assert mgr._save_kind(2, 0.4, force=False) is None
+        assert mgr._save_kind(3, 0.7, force=False) == "slim"
+
 
 @pytest.mark.slow
 class TestEndToEnd:
