@@ -23,7 +23,10 @@ from floodplanet_code_tpu.config import load_experiment_config
 from floodplanet_code_tpu.data import build_dataset, generate_image_slice_object
 from floodplanet_code_tpu.geo import tiff
 from floodplanet_code_tpu.inference.predict import load_model_for_eval
-from floodplanet_code_tpu.inference.sliding import sliding_window_predict
+from floodplanet_code_tpu.inference.sliding import (
+    resolve_inference_batch_size,
+    sliding_window_predict,
+)
 from floodplanet_code_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
@@ -82,8 +85,7 @@ def infer(
     mesh = make_mesh(cfg.select("tpu.n_devices"))
     variables = replicate_state(variables, mesh)
     n_devices = len(mesh.devices.ravel())
-    batch_size = max(cfg.batch_size, n_devices)
-    batch_size -= batch_size % n_devices
+    batch_size = resolve_inference_batch_size(cfg, n_devices)
 
     from tqdm import tqdm
 

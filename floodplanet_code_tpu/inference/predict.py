@@ -36,7 +36,10 @@ import numpy as np
 from floodplanet_code_tpu.config import load_experiment_config
 from floodplanet_code_tpu.data import build_dataset, generate_image_slice_object
 from floodplanet_code_tpu.geo import tiff
-from floodplanet_code_tpu.inference.sliding import sliding_window_predict
+from floodplanet_code_tpu.inference.sliding import (
+    resolve_inference_batch_size,
+    sliding_window_predict,
+)
 from floodplanet_code_tpu.models import build_model, resolve_conv_impl
 from floodplanet_code_tpu.ops.metrics import (
     compute_binary_class_metrics,
@@ -176,8 +179,7 @@ def predict(
     variables = replicate_state(variables, mesh)
     data_sharding = batch_sharding(mesh)
     n_devices = len(mesh.devices.ravel())
-    batch_size = max(cfg.batch_size, n_devices)
-    batch_size -= batch_size % n_devices
+    batch_size = resolve_inference_batch_size(cfg, n_devices)
 
     ckpt_name = os.path.basename(os.path.normpath(checkpoint_path))
     region_key = (

@@ -163,6 +163,24 @@ def _device_cache_batches(
     return batches()
 
 
+def resolve_inference_batch_size(cfg, n_devices: int) -> int:
+    """Inference batch size: ``tpu.inference_batch_size`` when set, else
+    the training ``batch_size``; rounded down to a device multiple (and
+    up to at least one tile per device).
+
+    Inference has no backward pass, so it saturates at larger batches
+    than training: the round-5 sweep (outputs/perf_r5/infer_sweep.jsonl,
+    PERF.md) measured the production forward+stitch cadence at 310.6
+    (b8) -> 325.9 (b16) -> 320.6 (b32) tiles/s/chip at 512^2, so the
+    config defaults to 16 rather than inheriting the train batch.
+    """
+    batch_size = int(cfg.select("tpu.inference_batch_size", 0) or 0)
+    if batch_size <= 0:
+        batch_size = int(cfg.batch_size)
+    batch_size = max(batch_size, n_devices)
+    return batch_size - batch_size % n_devices
+
+
 def sliding_window_predict(
     model,
     variables: dict,

@@ -16,7 +16,9 @@ shopt -s nullglob
 while true; do
   sleep 180
   records=(
+    outputs/*.json
     outputs/*/*.json
+    outputs/*/*.jsonl
     outputs/*/*/*.json
     outputs/*/*/checkpoints/soup-*/soup.json
     outputs/*/*/checkpoints/index.json

@@ -149,6 +149,30 @@ class TestDeviceStitcher:
         assert out[1000, 1000] == 0.0
 
 
+class TestInferenceBatchSize:
+    def test_resolve_inference_batch_size(self):
+        from floodplanet_code_tpu.config import compose
+        from floodplanet_code_tpu.inference.sliding import (
+            resolve_inference_batch_size,
+        )
+
+        cfg = compose(overrides=["batch_size=8"])
+        # Config default (16, sweep-backed) wins over the train batch.
+        assert resolve_inference_batch_size(cfg, 1) == 16
+        # Rounds down to a device multiple, up to >= 1 tile per device.
+        assert resolve_inference_batch_size(cfg, 3) == 15
+        assert resolve_inference_batch_size(cfg, 32) == 32
+        # null / 0 falls back to the training batch size.
+        cfg2 = compose(
+            overrides=["batch_size=10", "tpu.inference_batch_size=null"]
+        )
+        assert resolve_inference_batch_size(cfg2, 1) == 10
+        cfg3 = compose(
+            overrides=["batch_size=8", "tpu.inference_batch_size=4"]
+        )
+        assert resolve_inference_batch_size(cfg3, 2) == 4
+
+
 class TestTTA:
     """Dihedral test-time augmentation (sliding.make_predict_step tta)."""
 
