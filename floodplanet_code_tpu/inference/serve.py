@@ -165,6 +165,10 @@ class InferenceService:
                 run_cfg.crop_height = int(shape[1])
                 run_cfg.crop_width = int(shape[2])
                 run_cfg.tpu["n_devices"] = 1
+                # Pin the inference batch too: infer() prefers
+                # tpu.inference_batch_size (sweep default 16), which must
+                # not override the artifact's frozen batch dimension.
+                run_cfg.tpu["inference_batch_size"] = int(shape[0])
             # Probe dataset (same non-overlap tiling infer() uses) to warm
             # the model for this channel/class shape.
             slice_params = generate_image_slice_object(
